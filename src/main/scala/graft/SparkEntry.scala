@@ -1,13 +1,196 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{DocQueries, EventQueries}
+import graft.sources.TokenFixture
+import graft.tiers.{TierCascade, TierRollup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a
+  * training-pipeline op from the builder prompt); `oracleSql` holds the
+  * DuckDB-equivalent SQL the driver runs over the same parquet tables.
+  * Column names and types are aligned on both sides; f64 sums are rounded
+  * (round(·,4/5/6)) because double association order differs between engines;
+  * all other aggregates are exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship on sf=0.001 scale: the full north-rule pipeline — synthesize the
+    * token table (input_hint shape, seed=42), derive observations, run the
+    * resumable raw→1m→1h→1d tier cascade through the lake layer, return the 1m
+    * tier. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val tok = TokenFixture.tokenTable(spark, 20000L, withTokens = false)
+    val obs = TokenFixture.deriveObs(tok).select("series", "ts", "seq", "value")
+    val results = TierCascade.run(spark, obs, base, seriesBuckets = 8, salts = 4)
+    results.head.table.read()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— time-series core over `events` (SURVEY §2.3/§2.5/§2.9) ——
+    "q01_rollup_1m" -> (EventQueries.rollup1m _),
+    "q02_rollup_1h" -> (EventQueries.rollup1h _),
+    "q03_rollup_1d" -> (EventQueries.rollup1d _),
+    "q04_gapfill_locf" -> (EventQueries.gapfillLocf _),
+    "q05_delta_rate" -> (EventQueries.deltaRate _),
+    "q06_latest_per_series" -> (EventQueries.latestPerSeries _),
+    "q07_retention_ttl" -> (EventQueries.retentionTtl _),
+    "q08_histogram_buckets" -> (EventQueries.histogramBuckets _),
+    "q09_metricalize" -> (EventQueries.metricalize _),
+    // —— stream-shaping transforms (SURVEY §2.2/§2.6) ——
+    "q10_throttle" -> (EventQueries.throttle _),
+    "q11_sample" -> (EventQueries.sample _),
+    "q12_route" -> (EventQueries.route _),
+    "q13_cardinality" -> (EventQueries.cardinality _),
+    "q14_relabel" -> (EventQueries.relabel _),
+    "q15_dedup_first" -> (EventQueries.dedupFirst _),
+    // —— token/training-data pipeline over `documents`/`embeddings` ——
+    "q16_token_rollup_1m" -> (DocQueries.tokenRollup1m _),
+    "q17_dedup_exact" -> (DocQueries.dedupExact _),
+    "q18_text_quality" -> (DocQueries.textQuality _),
+    "q19_lang_id" -> (DocQueries.langId _),
+    "q20_token_count" -> (DocQueries.tokenCount _),
+    "q21_fingerprint" -> (DocQueries.fingerprint _),
+    "q22_ann_cosine" -> (DocQueries.annCosineAll _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_rollup_1m" ->
+      """SELECT epoch(date_trunc('minute', ts))::BIGINT AS bucket, event_type,
+        | round(sum(value),4) AS sum_v, count(*) AS cnt, min(value) AS min_v,
+        | max(value) AS max_v, arg_max(value, ts) AS last_v
+        |FROM events GROUP BY 1,2 ORDER BY bucket, event_type""".stripMargin,
+    "q02_rollup_1h" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS bucket, event_type,
+        | round(sum(value),4) AS sum_v, count(*) AS cnt, min(value) AS min_v,
+        | max(value) AS max_v, arg_max(value, ts) AS last_v
+        |FROM events GROUP BY 1,2 ORDER BY bucket, event_type""".stripMargin,
+    "q03_rollup_1d" ->
+      """SELECT epoch(date_trunc('day', ts))::BIGINT AS bucket, event_type,
+        | round(sum(value),4) AS sum_v, count(*) AS cnt, min(value) AS min_v,
+        | max(value) AS max_v, arg_max(value, ts) AS last_v
+        |FROM events GROUP BY 1,2 ORDER BY bucket, event_type""".stripMargin,
+    "q04_gapfill_locf" ->
+      """WITH tier AS (
+        |  SELECT event_type, (floor(epoch(ts))::BIGINT // 60) * 60 AS bucket,
+        |         count(*) AS cnt, arg_max(value, ts) AS last_v
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY 1,2),
+        |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM tier),
+        |spine AS (SELECT event_type, unnest(generate_series(lo, hi, 60)) AS bucket
+        |          FROM (SELECT DISTINCT event_type FROM tier), bounds)
+        |SELECT sp.event_type, sp.bucket, coalesce(t.cnt, 0) AS cnt,
+        |  (t.cnt IS NULL) AS is_gap,
+        |  last_value(t.last_v IGNORE NULLS) OVER (PARTITION BY sp.event_type
+        |    ORDER BY sp.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_v_filled
+        |FROM spine sp LEFT JOIN tier t ON sp.event_type = t.event_type AND sp.bucket = t.bucket
+        |ORDER BY sp.event_type, sp.bucket""".stripMargin,
+    "q05_delta_rate" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS bucket,
+        |         count(*)::DOUBLE AS cnt_v
+        |  FROM events GROUP BY 1,2),
+        |d AS (SELECT event_type, bucket, cnt_v,
+        |        lag(cnt_v) OVER w AS prev, lag(bucket) OVER w AS prev_b
+        |      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT event_type, bucket, cnt_v,
+        |  CASE WHEN prev IS NULL THEN NULL
+        |       WHEN cnt_v - prev < 0 THEN cnt_v ELSE cnt_v - prev END AS delta,
+        |  round(CASE WHEN prev IS NULL THEN NULL
+        |       WHEN cnt_v - prev < 0 THEN cnt_v ELSE cnt_v - prev END
+        |       / (bucket - prev_b), 6) AS rate
+        |FROM d ORDER BY event_type, bucket""".stripMargin,
+    "q06_latest_per_series" ->
+      """SELECT event_type, user_id, arg_max(value, ts) AS last_v,
+        | floor(epoch(max(ts)))::BIGINT AS last_ts_s, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY event_type, user_id""".stripMargin,
+    "q07_retention_ttl" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value),4) AS sum_v
+        |FROM events
+        |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q08_histogram_buckets" ->
+      """SELECT event_type,
+        | sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END)::BIGINT AS le_10,
+        | sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END)::BIGINT AS le_50,
+        | sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)::BIGINT AS le_100,
+        | sum(CASE WHEN value <= 250 THEN 1 ELSE 0 END)::BIGINT AS le_250,
+        | sum(CASE WHEN value <= 500 THEN 1 ELSE 0 END)::BIGINT AS le_500,
+        | count(*) AS h_count, round(sum(value),4) AS h_sum
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q09_metricalize" ->
+      """SELECT event_type,
+        | sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))::BIGINT AS k_sum,
+        | count(*) AS cnt, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q10_throttle" ->
+      """WITH r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                     ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS kept, round(sum(value),4) AS kept_sum
+        |FROM r WHERE rn <= 5 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q11_sample" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value),4) AS sum_v
+        |FROM events WHERE event_id % 10 = 0 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q12_route" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'errors'
+        |            WHEN value > 100 THEN 'high_value'
+        |            WHEN user_id % 2 = 0 THEN 'even_users'
+        |            ELSE '_unmatched' END AS port, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY port""".stripMargin,
+    "q13_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q14_relabel" ->
+      """SELECT upper(event_type) AS kind, user_id % 16 AS user_shard, count(*) AS cnt
+        |FROM events GROUP BY 1,2 ORDER BY kind, user_shard""".stripMargin,
+    "q15_dedup_first" ->
+      """SELECT user_id, event_type, arg_min(value, ts) AS first_v,
+        | floor(epoch(min(ts)))::BIGINT AS first_ts_s
+        |FROM events GROUP BY 1,2 ORDER BY user_id, event_type""".stripMargin,
+    "q16_token_rollup_1m" ->
+      """SELECT source,
+        | ((1704067200 + doc_id % 86400) // 60) * 60 AS bucket,
+        | sum(len(string_split(text, ' ')))::BIGINT AS sum_tok,
+        | count(*) AS cnt,
+        | min(len(string_split(text, ' ')))::BIGINT AS min_tok,
+        | max(len(string_split(text, ' ')))::BIGINT AS max_tok
+        |FROM documents GROUP BY 1,2 ORDER BY source, bucket""".stripMargin,
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS dup_cnt,
+        | min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q18_text_quality" ->
+      """SELECT source, count(*) AS docs,
+        | round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+        | round(avg(n_chars::DOUBLE / len(string_split(text, ' '))), 4) AS avg_word_len,
+        | sum(((length(text) - length(replace(text, 'the', ''))) / 3)::BIGINT)::BIGINT AS stopword_hits
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q19_lang_id" ->
+      """SELECT lang, CASE WHEN contains(text, ' the ') THEN 'en'
+        |                  WHEN contains(text, ' der ') THEN 'de'
+        |                  ELSE 'other' END AS predicted, count(*) AS cnt
+        |FROM documents GROUP BY 1,2 ORDER BY lang, predicted""".stripMargin,
+    "q20_token_count" ->
+      """SELECT source,
+        | sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+        | sum(len(regexp_extract_all(text, '[a-zA-Z]+')))::BIGINT AS re_tokens,
+        | count(*) AS docs
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q21_fingerprint" ->
+      """SELECT doc_id, substring(md5(text), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_ann_cosine" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |ex AS (SELECT vec_id, label,
+        |         unnest(embedding)::DOUBLE AS x,
+        |         unnest((SELECT q_emb FROM q))::DOUBLE AS y
+        |       FROM embeddings)
+        |SELECT vec_id, label,
+        | round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 5) AS cosine
+        |FROM ex GROUP BY 1,2 ORDER BY vec_id""".stripMargin
+  )
 }

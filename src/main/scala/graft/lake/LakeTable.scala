@@ -1,0 +1,138 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+
+/** Iceberg-shaped lake layer over Parquet (SURVEY.md §7.4 — no Iceberg jar in
+  * /opt/spark/jars, so the north_rule's "Iceberg table" behaviors are
+  * implemented against public Spark/Hadoop APIs only):
+  *
+  *  - hash-bucket/time partitioned Parquet data dirs,
+  *  - one JSON manifest per partition with row counts, lineage and metrics,
+  *  - atomic commit (manifest written to a temp path, then rename — the
+  *    semantic heir of the disk-buffer ledger's writer/reader record ids,
+  *    /root/reference/lib/buffer/src/disk/ledger.rs:36-47),
+  *  - resume: a rerun skips partitions whose manifest is committed and
+  *    recomputes only the missing ones (torn uncommitted data dirs are wiped
+  *    before rewrite, so the result is idempotent),
+  *  - retention: partition-level expire deletes data + manifest
+  *    (exporter TTL GC analog, /root/reference/src/sinks/prometheus_exporter.rs:457-482).
+  *
+  * Uses the Hadoop FileSystem API throughout, so the same code addresses
+  * HDFS/S3A on a real cluster and local files here.
+  */
+final class LakeTable(spark: SparkSession, basePath: String, tier: String, partCol: String) {
+  private val dataDir = s"$basePath/$tier/data"
+  private val manifestDir = s"$basePath/$tier/_manifests"
+  private def fs: FileSystem = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def dataPath: String = dataDir
+
+  /** Partition values with a committed manifest. */
+  def committedPartitions(): Set[String] = {
+    val dir = new Path(manifestDir)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json"))
+      .toSet
+  }
+
+  /** Write `df` partitioned by `partCol`, skipping already-committed
+    * partitions, and commit one manifest per newly written partition.
+    * Returns the newly committed partition values. `df` must be
+    * deterministic for resume to be byte-stable.
+    */
+  def append(df: DataFrame, lineage: String): Seq[String] = {
+    val committed = committedPartitions()
+    val allParts = df.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val todo = allParts.filterNot(committed.contains)
+    if (todo.isEmpty) return Nil
+
+    // wipe torn (written-but-uncommitted) partition dirs, then write only todo
+    todo.foreach { p =>
+      val d = new Path(s"$dataDir/$partCol=$p")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    val todoDf = df.filter(col(partCol).cast("string").isin(todo: _*))
+    todoDf.write.mode("append").partitionBy(partCol).parquet(dataDir)
+
+    // per-partition row counts from the written files (footer-driven count)
+    val counts = spark.read.parquet(dataDir)
+      .filter(col(partCol).cast("string").isin(todo: _*))
+      .groupBy(col(partCol).cast("string").as("p")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    todo.foreach { p =>
+      val files = {
+        val d = new Path(s"$dataDir/$partCol=$p")
+        if (fs.exists(d))
+          fs.listStatus(d).iterator.map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+        else Seq.empty
+      }
+      val manifest =
+        s"""{"table":"$tier","partition":"$partCol=$p","rows":${counts.getOrElse(p, 0L)},
+           |"files":[${files.map(f => "\"" + f + "\"").mkString(",")}],
+           |"lineage":"${lineage.replace("\"", "'")}",
+           |"committed_at":"${java.time.Instant.now()}"}""".stripMargin.replace("\n", "")
+      commitManifest(p, manifest)
+    }
+    todo
+  }
+
+  private def commitManifest(partition: String, json: String): Unit = {
+    fs.mkdirs(new Path(manifestDir))
+    val tmp = new Path(s"$manifestDir/.$partition.json.tmp")
+    val dst = new Path(s"$manifestDir/$partition.json")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) throw new IllegalStateException(s"manifest commit failed: $dst")
+  }
+
+  /** Read only committed partitions (uncommitted/torn data is invisible).
+    * The isin predicate on the partition column prunes at planning time —
+    * uncommitted directories are never scanned.
+    */
+  def read(): DataFrame = {
+    val committed = committedPartitions()
+    spark.read.option("basePath", dataDir).parquet(dataDir)
+      .filter(col(partCol).cast("string").isin(committed.toSeq: _*))
+  }
+
+  def readRaw(): DataFrame = spark.read.parquet(dataDir)
+
+  /** Retention: drop partitions for which `expired` holds. Partition-predicate
+    * delete + manifest removal; returns dropped partition values.
+    */
+  def expire(expired: String => Boolean): Seq[String] = {
+    val dropped = committedPartitions().filter(expired).toSeq.sorted
+    dropped.foreach { p =>
+      // manifest first: a partition without a manifest is invisible to read()
+      fs.delete(new Path(s"$manifestDir/$p.json"), false)
+      val d = new Path(s"$dataDir/$partCol=$p")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    dropped
+  }
+
+  def manifestJson(partition: String): Option[String] = {
+    val p = new Path(s"$manifestDir/$partition.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+}

@@ -1,0 +1,155 @@
+package graft.tiers
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tiered continuous aggregates: raw observations → 1m → 1h → 1d rollup cells
+  * (north_rule; semantics per SURVEY.md §1.2 / §2.3).
+  *
+  * Everything here is built-in Catalyst expressions — no UDFs, no custom
+  * Aggregator — so the whole rollup stays inside whole-stage codegen and gets
+  * map-side partial aggregation for free. "last" (vertex gauge last-write-wins,
+  * /root/reference/lib/event/src/metric/mod.rs:50-52) is made deterministic
+  * under any partitioning by ordering on (ts, seq) instead of arrival order.
+  *
+  * Input observation frame: columns (series: string, ts: long epoch-sec,
+  * seq: long unique tiebreak, value: double).
+  * Tier frame: (series, bucket, sum_v, cnt, min_v, max_v, last_v, last_ts, last_seq).
+  */
+object TierRollup {
+
+  def bucketOf(ts: Column, bucketSec: Long): Column =
+    (floor(ts / bucketSec) * bucketSec).cast("long")
+
+  /** Raw observations → one tier. Shuffles once on (series, bucket) with
+    * map-side partial agg; all aggregates are algebraic.
+    */
+  def fromObs(obs: DataFrame, bucketSec: Long): DataFrame = {
+    obs
+      .groupBy(col("series"), bucketOf(col("ts"), bucketSec).as("bucket"))
+      .agg(
+        sum(col("value")).as("sum_v"),
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        max_by(col("value"), struct(col("ts"), col("seq"))).as("last_v"),
+        max(struct(col("ts").as("ts"), col("seq").as("seq"))).as("_ord"))
+      .select(col("series"), col("bucket"), col("sum_v"), col("cnt"), col("min_v"),
+        col("max_v"), col("last_v"), col("_ord.ts").as("last_ts"), col("_ord.seq").as("last_seq"))
+  }
+
+  /** Finer tier → coarser tier (1m→1h, 1h→1d). `last` merges correctly because
+    * each cell carries (last_ts, last_seq).
+    */
+  def mergeTier(tier: DataFrame, bucketSec: Long): DataFrame = {
+    tier
+      .groupBy(col("series"), bucketOf(col("bucket"), bucketSec).as("bucket"))
+      .agg(
+        sum(col("sum_v")).as("sum_v"),
+        sum(col("cnt")).as("cnt"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        max_by(col("last_v"), struct(col("last_ts"), col("last_seq"))).as("last_v"),
+        max(struct(col("last_ts").as("ts"), col("last_seq").as("seq"))).as("_ord"))
+      .select(col("series"), col("bucket"), col("sum_v"), col("cnt"), col("min_v"),
+        col("max_v"), col("last_v"), col("_ord.ts").as("last_ts"), col("_ord.seq").as("last_seq"))
+  }
+
+  /** Skew-safe two-phase rollup for hot series (north_rule "salted
+    * repartitioning for hot-key skew"; SURVEY.md §7.5.4): phase 1 aggregates
+    * (series, bucket, salt) — spreading one hot cell over `salts` reducers —
+    * phase 2 merges the salted partials with the exact tier-merge semantics.
+    * Deterministic: every aggregate is order-insensitive given the (ts, seq)
+    * ordering carried by max_by.
+    */
+  def fromObsSalted(obs: DataFrame, bucketSec: Long, salts: Int): DataFrame = {
+    val salted = obs
+      .withColumn("_salt", pmod(col("seq"), lit(salts.toLong)))
+      .groupBy(col("series"), bucketOf(col("ts"), bucketSec).as("bucket"), col("_salt"))
+      .agg(
+        sum(col("value")).as("sum_v"),
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        max_by(col("value"), struct(col("ts"), col("seq"))).as("last_v"),
+        max(struct(col("ts").as("ts"), col("seq").as("seq"))).as("_ord"))
+      .select(col("series"), col("bucket"), col("sum_v"), col("cnt"), col("min_v"),
+        col("max_v"), col("last_v"), col("_ord.ts").as("last_ts"), col("_ord.seq").as("last_seq"))
+    mergeTier(salted, bucketSec)
+  }
+
+  /** Gap-fill (SURVEY.md §2.9): generated time spine per series × full bucket
+    * range, left join the tier, then LOCF via last(ignoreNulls) over an
+    * ordered per-series window. The spine is generated with sequence()+explode
+    * — no driver-side loops — and the bounds row is a broadcast single-row
+    * cross join.
+    */
+  def gapFill(tier: DataFrame, bucketSec: Long): DataFrame = {
+    val bounds = tier.agg(min(col("bucket")).as("_lo"), max(col("bucket")).as("_hi"))
+    val spine = tier.select(col("series")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("series"),
+        explode(sequence(col("_lo"), col("_hi"), lit(bucketSec))).as("bucket"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(tier, Seq("series", "bucket"), "left")
+      .withColumn("is_gap", col("cnt").isNull)
+      .withColumn("last_v_filled", last(col("last_v"), ignoreNulls = true).over(w))
+  }
+
+  /** Absolute→delta/rate normalization
+    * (/root/reference/lib/framework/src/sink/buffer/metrics.rs:99-141): per
+    * series ordered by bucket, delta = v - lag(v) with the counter-reset rule
+    * (negative delta ⇒ take the raw value), rate = delta / dt. The first point
+    * per series yields null ("first returns None").
+    */
+  def deltaRate(tier: DataFrame, valueCol: String = "last_v"): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+    val prevV = lag(col(valueCol), 1).over(w)
+    val prevB = lag(col("bucket"), 1).over(w)
+    val rawD = col(valueCol) - prevV
+    tier
+      .withColumn("delta", when(prevV.isNull, lit(null))
+        .otherwise(when(rawD < 0, col(valueCol)).otherwise(rawD)))
+      .withColumn("rate", col("delta") / (col("bucket") - prevB))
+  }
+
+  /** Histogram tier from raw observations: cumulative Prometheus-style bucket
+    * counts (every bucket with value <= upper incremented;
+    * /root/reference/lib/event/src/metric/mod.rs:53-61), plus count and sum.
+    * One sum(when(..)) per ladder rung — fully codegen'd, one shuffle.
+    */
+  def histogramFromObs(obs: DataFrame, ladder: Array[Double], bucketSec: Long): DataFrame = {
+    val bucketCounts = ladder.map(b =>
+      sum(when(col("value") <= b, 1L).otherwise(0L)))
+    obs
+      .groupBy(col("series"), bucketOf(col("ts"), bucketSec).as("bucket"))
+      .agg(count(lit(1)).as("h_count"), sum(col("value")).as("h_sum"),
+        array(bucketCounts: _*).as("h_buckets"))
+  }
+
+  /** Histogram tier merge: element-wise cumulative-bucket add (equal ladder
+    * layout assumed, mirroring the reference's same-layout requirement:
+    * /root/reference/src/transforms/metricalize.rs:233-248).
+    */
+  def mergeHistogramTier(hist: DataFrame, ladderLen: Int, bucketSec: Long): DataFrame = {
+    val zeros = array((0 until ladderLen).map(_ => lit(0L)): _*)
+    hist
+      .groupBy(col("series"), bucketOf(col("bucket"), bucketSec).as("bucket"))
+      .agg(sum(col("h_count")).as("h_count"), sum(col("h_sum")).as("h_sum"),
+        aggregate(collect_list(col("h_buckets")), zeros,
+          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("h_buckets"))
+  }
+
+  /** Retention (exporter TTL GC analog,
+    * /root/reference/src/sinks/prometheus_exporter.rs:457-482): keep only
+    * cells within `ttlSec` of the high-water mark. In the lake layer this
+    * becomes a partition-predicate delete (LakeTable.expire); this is the
+    * dataframe form used in queries.
+    */
+  def retain(tier: DataFrame, ttlSec: Long): DataFrame = {
+    val hwm = tier.agg(max(col("bucket")).as("_hwm"))
+    tier.crossJoin(broadcast(hwm)).filter(col("bucket") > col("_hwm") - ttlSec).drop("_hwm")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.lake.LakeTable
+import graft.sources.TokenFixture
+import graft.tiers.TierCascade
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Lake-layer resume semantics (FIXTURES.md §5): partition-level idempotence,
+  * kill-and-rerun recomputing only uncommitted partitions, retention expire.
+  */
+class LakeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String = Files.createTempDirectory("lake").toString
+
+  private def obs(n: Long) =
+    TokenFixture.deriveObs(TokenFixture.tokenTable(spark, n, withTokens = false))
+      .select("series", "ts", "seq", "value")
+
+  test("append commits one manifest per partition; rerun recomputes nothing") {
+    val base = tmpDir()
+    val results = TierCascade.run(spark, obs(5000), base)
+    assert(results.forall(_.newPartitions.nonEmpty))
+    val rows1m = results.head.table.read().count()
+    assert(rows1m > 0)
+    // rerun: everything committed, nothing new
+    val again = TierCascade.run(spark, obs(5000), base)
+    assert(again.forall(_.newPartitions.isEmpty))
+    assert(again.head.table.read().count() == rows1m)
+  }
+
+  test("kill-and-rerun: missing manifests are recomputed, committed ones skipped") {
+    val base = tmpDir()
+    val lake = new LakeTable(spark, base, "tier_1m", "pk")
+    val t1m = graft.tiers.TierRollup.fromObs(obs(5000), 60L)
+      .withColumn("pk", TierCascade.partKey(8))
+    val committed = lake.append(t1m, "raw->1m")
+    assert(committed.size > 1)
+    val full = lake.read().orderBy("series", "bucket").collect()
+
+    // simulate a crash that lost 3 partition commits (manifest deleted, torn data left)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val lost = committed.take(3)
+    lost.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/tier_1m/_manifests/$p.json"), false)
+    }
+    assert(lake.committedPartitions().size == committed.size - 3)
+
+    val recomputed = lake.append(t1m, "raw->1m")
+    assert(recomputed.toSet == lost.toSet, s"recomputed $recomputed, expected $lost")
+    val after = lake.read().orderBy("series", "bucket").collect()
+    assert(after.sameElements(full), "resume must be byte-identical")
+  }
+
+  test("uncommitted (torn) partitions are invisible to read()") {
+    val base = tmpDir()
+    val lake = new LakeTable(spark, base, "tier_1m", "pk")
+    val t1m = graft.tiers.TierRollup.fromObs(obs(2000), 60L)
+      .withColumn("pk", TierCascade.partKey(4))
+    val committed = lake.append(t1m, "raw->1m")
+    val n = lake.read().count()
+    // drop one manifest: its rows disappear from read() without touching data
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/tier_1m/_manifests/${committed.head}.json"), false)
+    assert(lake.read().count() < n)
+  }
+
+  test("expire drops partitions and their manifests") {
+    val base = tmpDir()
+    val lake = new LakeTable(spark, base, "tier_1m", "pk")
+    val t1m = graft.tiers.TierRollup.fromObs(obs(2000), 60L)
+      .withColumn("pk", TierCascade.partKey(4))
+    val committed = lake.append(t1m, "raw->1m")
+    val victim = committed.head
+    val dropped = lake.expire(_ == victim)
+    assert(dropped == Seq(victim))
+    assert(!lake.committedPartitions().contains(victim))
+    assert(lake.read().filter(col("pk") === victim).count() == 0)
+  }
+
+  test("manifests carry rows, files, lineage") {
+    val base = tmpDir()
+    val lake = new LakeTable(spark, base, "tier_1m", "pk")
+    val t1m = graft.tiers.TierRollup.fromObs(obs(1000), 60L)
+      .withColumn("pk", TierCascade.partKey(2))
+    val committed = lake.append(t1m, "raw->1m rollup")
+    val m = lake.manifestJson(committed.head).get
+    assert(m.contains("\"rows\":") && m.contains(".parquet") && m.contains("raw->1m rollup"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import graft.model.{RollupPoint, Schemas}
+import graft.ref.RefRollup
+import graft.sources.TokenFixture
+import graft.tiers.{TierCascade, TierRollup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark rollup vs the single-node oracle (bit-for-bit; token-count values are
+  * integral so f64 sums are order-insensitive — SURVEY.md §7.5.1).
+  */
+class RollupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def obsDf(n: Long, skewed: Boolean = false): DataFrame =
+    TokenFixture.deriveObs(TokenFixture.tokenTable(spark, n, skewed = skewed, withTokens = false))
+      .select("series", "ts", "seq", "value")
+
+  private def collectTier(df: DataFrame): Map[(String, Long), RollupPoint] =
+    df.collect().map { r =>
+      val p = RollupPoint(r.getAs[String]("series"), r.getAs[Long]("bucket"),
+        r.getAs[Double]("sum_v"), r.getAs[Long]("cnt"), r.getAs[Double]("min_v"),
+        r.getAs[Double]("max_v"), r.getAs[Double]("last_v"), r.getAs[Long]("last_ts"),
+        r.getAs[Long]("last_seq"))
+      (p.series, p.bucket) -> p
+    }.toMap
+
+  private def oracleObs(n: Long): Seq[(String, Long, Long, Double)] = {
+    val rows = obsDf(n).collect()
+    rows.map(r => (r.getAs[String]("series"), r.getAs[Long]("ts"),
+      r.getAs[Long]("seq"), r.getAs[Double]("value"))).toSeq
+  }
+
+  test("1m rollup matches oracle bit-for-bit (10k rows)") {
+    val pts = oracleObs(10000)
+    val expected = RefRollup.rollup(pts, 60L).map(p => (p.series, p.bucket) -> p).toMap
+    val got = collectTier(TierRollup.fromObs(obsDf(10000), 60L))
+    assert(got.size == expected.size)
+    expected.foreach { case (k, e) =>
+      val g = got(k)
+      assert(g == e, s"cell $k: got $g expected $e")
+    }
+  }
+
+  test("salted two-phase rollup is identical to unsalted (skewed fixture)") {
+    val obs = obsDf(20000, skewed = true)
+    val plain = collectTier(TierRollup.fromObs(obs, 60L))
+    val salted = collectTier(TierRollup.fromObsSalted(obs, 60L, salts = 8))
+    assert(plain == salted)
+  }
+
+  test("tier cascade 1m->1h->1d equals oracle merge at every tier") {
+    val pts = oracleObs(10000)
+    val o1m = RefRollup.rollup(pts, 60L)
+    val o1h = RefRollup.mergeTier(o1m, 3600L)
+    val o1d = RefRollup.mergeTier(o1h, 86400L)
+    val s1m = TierRollup.fromObs(obsDf(10000), 60L)
+    val s1h = TierRollup.mergeTier(s1m, 3600L)
+    val s1d = TierRollup.mergeTier(s1h, 86400L)
+    Seq((o1h, s1h, "1h"), (o1d, s1d, "1d")).foreach { case (o, s, tag) =>
+      val om = o.map(p => (p.series, p.bucket) -> p).toMap
+      val sm = collectTier(s)
+      assert(sm.size == om.size, s"$tag size")
+      om.foreach { case (k, e) => assert(sm(k) == e, s"$tag cell $k") }
+    }
+  }
+
+  test("histogram tier matches oracle cumulative buckets and merges across tiers") {
+    val pts = oracleObs(5000)
+    val ladder = Schemas.bucketLadder
+    // oracle per (series, 1h bucket)
+    val byCell = pts.groupBy(p => (p._1, math.floorDiv(p._2, 3600L) * 3600L))
+    val expected = byCell.map { case (k, vs) =>
+      k -> RefRollup.histogram(vs.sortBy(v => (v._2, v._3)).map(_._4), ladder)
+    }
+    val got1m = TierRollup.histogramFromObs(obsDf(5000), ladder, 60L)
+    val got1h = TierRollup.mergeHistogramTier(got1m, ladder.length, 3600L)
+    val gotMap = got1h.collect().map { r =>
+      (r.getAs[String]("series"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Long]("h_count"), r.getAs[Double]("h_sum"),
+          r.getAs[Seq[Long]]("h_buckets").toArray)
+    }.toMap
+    assert(gotMap.size == expected.size)
+    expected.foreach { case (k, (ec, es, eb)) =>
+      val (gc, gs, gb) = gotMap(k)
+      assert(gc == ec && gs == es && gb.sameElements(eb), s"hist cell $k")
+    }
+  }
+
+  test("delta/rate matches oracle incl. counter reset; first point is null") {
+    import spark.implicits._
+    // hand-built cumulative counter with one reset, two series
+    val rows = Seq(
+      ("a", 0L, 1L, 10.0), ("a", 60L, 2L, 15.0), ("a", 120L, 3L, 3.0), // reset at 120
+      ("a", 180L, 4L, 9.0), ("b", 0L, 5L, 1.0), ("b", 60L, 6L, 1.0))
+    val tier = TierRollup.fromObs(rows.toDF("series", "ts", "seq", "value"), 60L)
+    val got = TierRollup.deltaRate(tier).select("series", "bucket", "delta", "rate")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val oracleA = RefRollup.deltaRate(Seq((0L, 10.0), (60L, 15.0), (120L, 3.0), (180L, 9.0)))
+      .map { case (ts, d, rt) => ("a", ts, d, rt) }
+    val oracleB = RefRollup.deltaRate(Seq((0L, 1.0), (60L, 1.0)))
+      .map { case (ts, d, rt) => ("b", ts, d, rt) }
+    assert(got == (oracleA ++ oracleB).toSet)
+  }
+
+  test("gap-fill: spine is complete, gaps marked, LOCF fills from last observation") {
+    import spark.implicits._
+    val rows = Seq(("s", 0L, 1L, 5.0), ("s", 180L, 2L, 7.0)) // buckets 0 and 180, gap at 60,120
+    val tier = TierRollup.fromObs(rows.toDF("series", "ts", "seq", "value"), 60L)
+    val filled = TierRollup.gapFill(tier, 60L).orderBy("bucket")
+      .select("bucket", "is_gap", "last_v_filled").collect()
+    assert(filled.map(_.getLong(0)).sameElements(Array(0L, 60L, 120L, 180L)))
+    assert(filled.map(_.getBoolean(1)).sameElements(Array(false, true, true, false)))
+    assert(filled.map(_.getDouble(2)).sameElements(Array(5.0, 5.0, 5.0, 7.0)))
+  }
+
+  test("fixture gaps are filled: gapped fixture yields complete spine") {
+    val obs = TokenFixture.deriveObs(
+      TokenFixture.tokenTable(spark, 3000, withGaps = true, withTokens = false))
+      .select("series", "ts", "seq", "value")
+    val tier = TierRollup.fromObs(obs, 60L)
+    val filled = TierRollup.gapFill(tier, 60L)
+    val perSeries = filled.groupBy("series").agg(
+      count(lit(1)).as("n"),
+      ((max(col("bucket")) - min(col("bucket"))) / 60 + 1).as("want"))
+    assert(perSeries.filter(col("n") =!= col("want")).count() == 0)
+    assert(filled.filter(col("is_gap") && col("last_v_filled").isNull).count() +
+      filled.filter(col("is_gap")).count() > 0) // gaps exist and are marked
+  }
+
+  test("token-array equality: derived obs preserve tokens vs the source table") {
+    val tok = TokenFixture.tokenTable(spark, 2000)
+    val derived = TokenFixture.deriveObs(tok)
+    // join back on doc_id and compare token arrays
+    val src = tok.select(col("doc_id"), col("tokens").as("src_tokens"))
+    val bad = derived.join(src, "doc_id")
+      .filter(not(col("tokens") === col("src_tokens"))).count()
+    assert(bad == 0)
+    assert(derived.count() == 2000)
+  }
+
+  test("retention: TTL filter keeps only cells near the high-water mark") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i => ("s", i * 60L, i.toLong, 1.0))
+    val tier = TierRollup.fromObs(rows.toDF("series", "ts", "seq", "value"), 60L)
+    val kept = TierRollup.retain(tier, ttlSec = 600L)
+    assert(kept.count() == 10) // buckets within (hwm-600, hwm]
+    assert(kept.agg(min("bucket")).head().getLong(0) == (99 * 60 - 600 + 60))
+  }
+}
