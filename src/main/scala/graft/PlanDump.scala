@@ -1,0 +1,37 @@
+package graft
+
+import graft.sources.TokenFixture
+import graft.tiers.TierRollup
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for the hot paths so scan pruning,
+  * pushdown, partial aggregation and codegen spans can be inspected (builder
+  * prompt: ".explain('formatted') the plan and iterate").
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println("==== rollup 1m over parquet raw (column pruning check) ====")
+    val raw = "/tmp/graft_bench/raw_n2000000"
+    if (new java.io.File(raw).exists()) {
+      val obs = TokenFixture.deriveObs(spark.read.parquet(raw))
+        .select("series", "ts", "seq", "value")
+      TierRollup.fromObs(obs, 60L).explain("formatted")
+      println("==== salted variant ====")
+      TierRollup.fromObsSalted(obs, 60L, 4).explain("formatted")
+    }
+
+    println("==== events rollup 1m (filter/pushdown check) ====")
+    queries.EventQueries.rollup1m(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    println("==== gap-fill ====")
+    queries.EventQueries.gapfillLocf(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    spark.stop()
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DocQueries, EventQueries}
+import graft.queries.{DocQueries, EventQueries, MoreQueries}
 import graft.sources.TokenFixture
 import graft.tiers.{TierCascade, TierRollup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -54,7 +54,20 @@ object SparkEntry {
     "q19_lang_id" -> (DocQueries.langId _),
     "q20_token_count" -> (DocQueries.tokenCount _),
     "q21_fingerprint" -> (DocQueries.fingerprint _),
-    "q22_ann_cosine" -> (DocQueries.annCosineAll _)
+    "q22_ann_cosine" -> (DocQueries.annCosineAll _),
+    // —— batch 2: enforcement/fanout/rewrite/summary + hash-based ops ——
+    "q23_cardinality_enforce" -> (MoreQueries.cardinalityEnforce _),
+    "q24_union_fanout" -> (MoreQueries.unionFanout _),
+    "q25_rewrite_vtl" -> (MoreQueries.rewriteVtl _),
+    "q26_summary_quantiles" -> (MoreQueries.summaryQuantiles _),
+    "q27_ngram_jaccard" -> (MoreQueries.ngramJaccard _),
+    // rows-only checks (hash functions not reproducible in DuckDB SQL;
+    // each is verified against a Scala oracle in ScalaTest instead)
+    "q28_minhash_lsh" -> (MoreQueries.minhashLsh _),
+    "q29_simhash_pairs" -> (MoreQueries.simhashPairs _),
+    "q30_ann_lsh" -> (MoreQueries.annLsh _),
+    "q31_gorilla_pages" -> (MoreQueries.gorillaPages _),
+    "q32_multimodal_stub" -> (MoreQueries.multimodalStub _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -191,6 +204,48 @@ object SparkEntry {
         |       FROM embeddings)
         |SELECT vec_id, label,
         | round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 5) AS cosine
-        |FROM ex GROUP BY 1,2 ORDER BY vec_id""".stripMargin
+        |FROM ex GROUP BY 1,2 ORDER BY vec_id""".stripMargin,
+    "q23_cardinality_enforce" ->
+      """WITH fu AS (SELECT event_type, user_id, min(ts) AS fts
+        |            FROM events GROUP BY 1,2),
+        |rk AS (SELECT event_type, user_id,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY fts) AS rn
+        |       FROM fu)
+        |SELECT e.event_type, count(*) AS kept_cnt,
+        |       count(DISTINCT e.user_id) AS kept_users
+        |FROM events e JOIN rk ON e.event_type = rk.event_type AND e.user_id = rk.user_id
+        |WHERE rk.rn <= 30 GROUP BY 1 ORDER BY e.event_type""".stripMargin,
+    "q24_union_fanout" ->
+      """SELECT event_type, count(*) AS cnt FROM (
+        |  SELECT event_type FROM events WHERE value > 100
+        |  UNION ALL
+        |  SELECT event_type FROM events WHERE user_id % 2 = 0)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q25_rewrite_vtl" ->
+      """SELECT upper(event_type) AS kind,
+        | round(sum(abs(value - 50.0)), 4) AS dev_sum,
+        | max(length(props))::INT AS max_props_len,
+        | sum(CASE WHEN regexp_matches(props, '[0-9]{2,}') THEN 1 ELSE 0 END)::BIGINT AS big_num_cnt
+        |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q26_summary_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q27_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+        |    ELSE [text] END AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin
   )
 }

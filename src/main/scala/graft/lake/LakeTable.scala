@@ -48,22 +48,33 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     */
   def append(df: DataFrame, lineage: String): Seq[String] = {
     val committed = committedPartitions()
-    val allParts = df.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val todo = allParts.filterNot(committed.contains)
-    if (todo.isEmpty) return Nil
+    // Single pipeline pass: stage everything uncommitted, then promote staged
+    // partition dirs by rename. (A distinct() pre-pass to discover partition
+    // values would run the whole upstream pipeline a second time.)
+    val stagingName = s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = s"$basePath/$tier/$stagingName"
+    val filtered =
+      if (committed.isEmpty) df
+      else df.filter(!col(partCol).cast("string").isin(committed.toSeq: _*))
+    filtered.write.mode("overwrite").partitionBy(partCol).parquet(staging)
 
-    // wipe torn (written-but-uncommitted) partition dirs, then write only todo
-    todo.foreach { p =>
-      val d = new Path(s"$dataDir/$partCol=$p")
-      if (fs.exists(d)) fs.delete(d, true)
+    val stagedDirs = fs.listStatus(new Path(staging)).iterator
+      .map(_.getPath).filter(_.getName.startsWith(s"$partCol=")).toSeq
+    val todo = stagedDirs.map(_.getName.stripPrefix(s"$partCol=")).sorted
+    if (todo.isEmpty) { fs.delete(new Path(staging), true); return Nil }
+
+    // promote: wipe torn target dirs, rename staged dirs into place
+    stagedDirs.foreach { d =>
+      val dst = new Path(s"$dataDir/${d.getName}")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.mkdirs(new Path(dataDir))
+      if (!fs.rename(d, dst)) throw new IllegalStateException(s"promote failed: $d -> $dst")
     }
-    val todoDf = df.filter(col(partCol).cast("string").isin(todo: _*))
-    todoDf.write.mode("append").partitionBy(partCol).parquet(dataDir)
+    fs.delete(new Path(staging), true)
 
     // per-partition row counts from the written files (footer-driven count)
-    val counts = spark.read.parquet(dataDir)
-      .filter(col(partCol).cast("string").isin(todo: _*))
+    val counts = spark.read.option("basePath", dataDir).parquet(
+        todo.map(p => s"$dataDir/$partCol=$p"): _*)
       .groupBy(col(partCol).cast("string").as("p")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.functions.Pages
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second operator batch: cardinality enforcement, fanout/union, VTL-style
+  * rewrite, summary quantiles, and the hash-based near-dup / ANN / page /
+  * multimodal operators (those are ScalaTest-verified; hash functions are not
+  * reproducible in DuckDB SQL, so the driver records rows-only checks).
+  */
+object MoreQueries {
+
+  /** cardinality limiter, enforcement mode
+    * (/root/reference/src/transforms/cardinality.rs:262-292, Drop action):
+    * per event_type only the first 30 distinct user_ids (by first-seen time)
+    * pass; later users' events are dropped. Deterministic because ts is unique.
+    */
+  def cardinalityEnforce(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+    val firstSeen = e.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("ts")).as("fts"))
+    val ranked = firstSeen.withColumn("rn",
+      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("fts"))))
+      .filter(col("rn") <= 30)
+      .select(col("event_type"), col("user_id"))
+    e.join(broadcast(ranked), Seq("event_type", "user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("kept_cnt"), countDistinct(col("user_id")).as("kept_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** fanout/union (SURVEY §2.6: multiple inputs merged,
+    * lib/framework/src/topology/fanout.rs): two filtered branches of one
+    * cached parent unioned back (unionByName), then aggregated.
+    */
+  def unionFanout(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+    val highValue = e.filter(col("value") > 100).select(col("event_type"))
+    val evenUsers = e.filter(col("user_id") % 2 === 0).select(col("event_type"))
+    highValue.unionByName(evenUsers)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+  }
+
+  /** rewrite transform (VTL program analog, SURVEY §2.2/§2.7): a withColumn
+    * chain of scalar functions — string case ops, abs/round math, regexp —
+    * all built-in Catalyst expressions, then aggregated.
+    */
+  def rewriteVtl(s: SparkSession, dir: String): DataFrame =
+    EventQueries.events(s, dir)
+      .withColumn("kind", upper(col("event_type")))
+      .withColumn("dev", abs(col("value") - 50.0))
+      .withColumn("has_big_num", col("props").rlike("[0-9]{2,}"))
+      .groupBy(col("kind"))
+      .agg(
+        round(sum(col("dev")), 4).as("dev_sum"),
+        max(length(col("props"))).as("max_props_len"),
+        sum(when(col("has_big_num"), 1L).otherwise(0L)).as("big_num_cnt"))
+      .orderBy(col("kind"))
+
+  /** summary quantiles (vertex Summary carries quantiles; merge is a no-op —
+    * /root/reference/lib/event/src/metric/mod.rs:62 — so quantiles are always
+    * computed from raw observations, exactly as here: exact interpolated
+    * percentiles per series).
+    */
+  def summaryQuantiles(s: SparkSession, dir: String): DataFrame =
+    EventQueries.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  /** MinHash LSH near-dup dedup over documents (ScalaTest-verified). */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(DocQueries.documents(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash near-dup pairs over documents (ScalaTest-verified). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(DocQueries.documents(s, dir), "doc_id", "text", maxHamming = 16)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Exact n-gram Jaccard on deterministic consecutive doc pairs (has a
+    * DuckDB oracle: list_intersect/list_distinct).
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = DocQueries.documents(s, dir)
+    val sh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** LSH-bucketed approximate nearest neighbours (ScalaTest-verified recall
+    * vs brute force).
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(DocQueries.embeddings(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+
+  /** Gorilla page compression over the events stream: one binary page per
+    * (event_type, day), with byte sizes and a bit-exact roundtrip flag
+    * (ScalaTest + property-tested codec).
+    */
+  def gorillaPages(s: SparkSession, dir: String): DataFrame = {
+    val obs = EventQueries.obs(s, dir)
+    Pages.pageStats(Pages.pagesFromObs(obs, 86400L))
+      .orderBy(col("series"), col("bucket"))
+  }
+
+  /** Multimodal decode plumbing (stubbed decode; real batching/schema). */
+  def multimodalStub(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pipeline(s, dir)
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the rollup pipeline (SURVEY.md §2.8).
+  *
+  * The reference flushes aggregation state on a processing-time interval
+  * (metricalize tick, /root/reference/src/transforms/metricalize.rs:161-190)
+  * and bounds lateness only via the exporter TTL. Here the same semantics are
+  * event-time native: tumbling windows + watermark, so results are
+  * deterministic and replayable — late data within the watermark merges into
+  * its window; later data is dropped (the TTL analog).
+  *
+  * Input obs stream: (series: string, ts: long epoch-sec, seq: long, value: double).
+  */
+object StreamRollup {
+
+  /** Streaming 1-tier rollup: same aggregate set as TierRollup.fromObs.
+    * Append-mode compatible (watermark closes windows).
+    */
+  def rollupStream(obs: DataFrame, bucketSec: Long, watermark: String = "10 minutes"): DataFrame =
+    obs
+      .withColumn("ts_ts", timestamp_seconds(col("ts")))
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), s"$bucketSec seconds").as("w"), col("series"))
+      .agg(
+        sum(col("value")).as("sum_v"),
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        max_by(col("value"), struct(col("ts"), col("seq"))).as("last_v"),
+        max(struct(col("ts").as("ts"), col("seq").as("seq"))).as("_ord"))
+      .select(col("series"), unix_timestamp(col("w.start")).as("bucket"),
+        col("sum_v"), col("cnt"), col("min_v"), col("max_v"), col("last_v"),
+        col("_ord.ts").as("last_ts"), col("_ord.seq").as("last_seq"))
+
+  /** Streaming MetricsBuffer batching analog
+    * (/root/reference/lib/framework/src/sink/buffer/metrics.rs:176-181):
+    * within each micro-batch window, the latest point per series wins
+    * (upsert-replace). Emitted per window close.
+    */
+  def latestPerSeriesStream(obs: DataFrame, bucketSec: Long,
+      watermark: String = "10 minutes"): DataFrame =
+    obs
+      .withColumn("ts_ts", timestamp_seconds(col("ts")))
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), s"$bucketSec seconds").as("w"), col("series"))
+      .agg(max_by(col("value"), struct(col("ts"), col("seq"))).as("last_v"),
+        max(col("ts")).as("last_ts"))
+      .select(col("series"), unix_timestamp(col("w.start")).as("bucket"),
+        col("last_v"), col("last_ts"))
+
+  /** Streaming dedup (SURVEY §2.6 dedup transform): first occurrence per key
+    * passes; duplicate suppression state is bounded by the watermark (the
+    * reference bounds it with an LRU of 4096 entries instead —
+    * /root/reference/src/transforms/dedup.rs:54-56).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keys)
+}

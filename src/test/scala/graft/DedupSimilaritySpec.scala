@@ -1,0 +1,129 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scala oracles for the hash-based near-dup / similarity operators (these
+  * have no DuckDB oracle — hash functions differ across engines — so the
+  * driver records rows-only checks and correctness is proven here).
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  /** Deterministic corpus with planted near-duplicates. */
+  private def corpus: DataFrame = {
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val rows = Seq(
+      (0L, base),
+      (1L, base), // exact dup of 0
+      (2L, base.replace("lazy", "sleepy")), // near dup of 0
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "completely different content about spark query engines and shuffle plans"), // near dup of 3
+      (5L, "short doc"),
+      (6L, "yet another unrelated document discussing gorilla compression of time series data"))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val got = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)), s"exact dup pair missing: $got")
+    assert(got.contains((0L, 2L)) && got.contains((1L, 2L)), s"near dup pair missing: $got")
+    assert(got.contains((3L, 4L)), s"near dup pair missing: $got")
+    // no cross-pairs between the two families or with 5/6
+    got.foreach { case (a, b) =>
+      assert(Set(Set(0L, 1L), Set(0L, 2L), Set(1L, 2L), Set(3L, 4L)).contains(Set(a, b)),
+        s"false positive pair ($a,$b)")
+    }
+  }
+
+  test("minhash jaccard estimates match exact jaccard within banding tolerance") {
+    // exact dup must report jaccard 1.0
+    val j = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.5)
+      .filter($"doc_a" === 0 && $"doc_b" === 1).select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("jaccard column equals a hand-computed value") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.shingles($"text").as("sh"))
+    val a = sh.filter($"doc_id" === 1).select($"sh".as("sh_a"))
+    val b = sh.filter($"doc_id" === 2).select($"sh".as("sh_b"))
+    val got = a.crossJoin(b).select(Dedup.jaccard($"sh_a", $"sh_b")).as[Double].head()
+    // shingles: {a b c, b c d} vs {a b c, b c e}: |∩|=1, |∪|=3
+    assert(math.abs(got - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("simhash: identical docs have hamming 0, near dups small, unrelated large") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash64($"text").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 2L) <= 16, s"near dup hamming ${ham(0L, 2L)}")
+    assert(ham(0L, 3L) > 16, s"unrelated hamming ${ham(0L, 3L)}")
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash64 matches a single-node Scala oracle (xxhash64 parity via Spark)") {
+    // oracle: recompute from Spark's own xxhash64 of each token (seed 42)
+    val tokens = corpus.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", $"w", xxhash64($"w").as("h"))
+      .as[(Long, String, Long)].collect()
+    val expected = tokens.groupBy(_._1).map { case (id, ws) =>
+      var sim = 0L
+      (0 until 64).foreach { i =>
+        val vote = ws.map(t => if (((t._3 >> i) & 1L) == 1L) 1L else -1L).sum
+        if (vote > 0) sim |= (1L << i)
+      }
+      id -> sim
+    }
+    val got = corpus.select($"doc_id", Dedup.simhash64($"text")).as[(Long, Long)].collect().toMap
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+  }
+
+  private def embeddings: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force cosine top-k matches a driver-side oracle") {
+    val rows = embeddings.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val q = rows.find(_._1 == 0L).get._2.map(_.toDouble).toArray
+    def cos(v: Seq[Float]): Double = {
+      val a = v.map(_.toDouble).toArray
+      val dot = a.zip(q).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+    }
+    val expected = rows.map { case (id, v) => (id, math.rint(cos(v) * 1e5) / 1e5) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
+    val got = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("LSH top-k: query's own vector is rank 1; results subset of brute-force ordering") {
+    val got = Similarity.lshTopK(embeddings, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect()
+    assert(got.head._1 == 0L && got.head._2 == 1.0)
+    // every LSH result's cosine must equal the brute-force cosine for that id
+    val bf = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding", 0L, 2000)
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (id, c) => assert(bf(id) == c, s"id $id") }
+  }
+
+  test("multimodal stub pipeline: all kinds decoded, batching visible") {
+    val out = graft.ops.Multimodal.pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    assert(out.map(_.getAs[Long]("n_media")).sum > 0)
+    assert(out.forall(_.getAs[Int]("max_batch") >= 1))
+  }
+}

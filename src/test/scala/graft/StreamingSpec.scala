@@ -1,0 +1,71 @@
+package graft
+
+import graft.ref.RefRollup
+import graft.streaming.StreamRollup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming rollup vs the single-node oracle: a MemoryStream drives the
+  * event-time windowed aggregation in micro-batches; results must equal the
+  * batch/oracle rollup of the same points (SURVEY.md §2.8: event-time windows
+  * replace the reference's processing-time flush deterministically).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming rollup over micro-batches equals the oracle rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pts: Seq[(String, Long, Long, Double)] =
+      (0 until 500).map(i => (s"s${i % 3}", 1000L + i * 7, i.toLong, (i % 11).toDouble))
+    val stream = MemoryStream[(String, Long, Long, Double)]
+    val obs = stream.toDF().toDF("series", "ts", "seq", "value")
+    val rolled = StreamRollup.rollupStream(obs, 60L, watermark = "0 seconds")
+    val q = rolled.writeStream
+      .format("memory").queryName("rollup_out")
+      .outputMode("complete") // complete mode: all windows visible at the end
+      .start()
+    // three micro-batches in event-time order
+    pts.grouped(200).foreach { batch => stream.addData(batch); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("rollup_out")
+      .select("series", "bucket", "sum_v", "cnt", "min_v", "max_v", "last_v", "last_ts", "last_seq")
+      .as[(String, Long, Double, Long, Double, Double, Double, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> r)
+      .toMap
+    val expected = RefRollup.rollup(pts, 60L)
+    assert(got.size == expected.size)
+    expected.foreach { p =>
+      val g = got((p.series, p.bucket))
+      assert(g._3 == p.sum && g._4 == p.cnt && g._5 == p.min && g._6 == p.max &&
+        g._7 == p.last && g._8 == p.lastTs && g._9 == p.lastSeq, s"cell ${p.series}/${p.bucket}")
+    }
+  }
+
+  test("streaming dedup keeps first occurrence per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Double)]
+    val df = stream.toDF().toDF("k", "ts", "v")
+      .withColumn("ts_ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("ts")))
+    val deduped = StreamRollup.dedupStream(df, Seq("k"), "ts_ts", "0 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    stream.addData(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0)))
+    stream.addData(Seq(("a", 4L, 4.0), ("c", 5L, 5.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("k", "v").as[(String, Double)].collect().toSet
+    assert(got == Set(("a", 1.0), ("b", 3.0), ("c", 5.0)))
+  }
+}
