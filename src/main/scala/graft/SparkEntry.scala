@@ -67,7 +67,11 @@ object SparkEntry {
     "q29_simhash_pairs" -> (MoreQueries.simhashPairs _),
     "q30_ann_lsh" -> (MoreQueries.annLsh _),
     "q31_gorilla_pages" -> (MoreQueries.gorillaPages _),
-    "q32_multimodal_stub" -> (MoreQueries.multimodalStub _)
+    "q32_multimodal_stub" -> (MoreQueries.multimodalStub _),
+    // —— batch 3: joins + text-format ingestion ——
+    "q33_asof_join" -> (MoreQueries.asofJoin _),
+    "q34_enrich_join" -> (MoreQueries.enrichJoin _),
+    "q35_promtext" -> (MoreQueries.promTextParse _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -246,6 +250,21 @@ object SparkEntry {
         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
         |        len(list_distinct(a.s || b.s)), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-        |ORDER BY doc_a""".stripMargin
+        |ORDER BY doc_a""".stripMargin,
+    "q33_asof_join" ->
+      """SELECT l.event_id, l.event_type, r.value AS asof_v
+        |FROM events l ASOF LEFT JOIN
+        |  (SELECT event_type, ts, value FROM events WHERE event_id % 20 = 0) r
+        |  ON l.event_type = r.event_type AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q34_enrich_join" ->
+      """SELECT n.n_name, count(*) AS cnt, round(sum(e.value),4) AS sum_v
+        |FROM events e JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+        |GROUP BY 1 ORDER BY n.n_name""".stripMargin,
+    "q35_promtext" ->
+      """SELECT 'graft_value' AS name, event_type AS type,
+        | count(*) AS samples, round(sum(value),4) AS sum_v
+        |FROM events WHERE event_id < 2000
+        |GROUP BY 2 ORDER BY type""".stripMargin
   )
 }

@@ -121,4 +121,52 @@ object MoreQueries {
   /** Multimodal decode plumbing (stubbed decode; real batching/schema). */
   def multimodalStub(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(s, dir)
+
+  /** As-of join (SURVEY §2.4): every event picks up the value of the latest
+    * "snapshot" event (event_id%20==0) of the same type at or before its ts —
+    * composed from union + ordered-window LOCF (graft.tiers.AsOfJoin), one
+    * shuffle, no range-join blowup. DuckDB oracle uses its native ASOF JOIN.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+    // microsecond precision: unix_timestamp would truncate to seconds and
+    // let a same-second-but-later snapshot leak into the as-of window
+    val left = e.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumnRenamed("ts_us", "ts")
+    val right = e.filter(pmod(col("event_id"), lit(20)) === 0)
+      .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("ts"),
+        col("value").as("asof_v"))
+    graft.tiers.AsOfJoin.asof(left, right, Seq("event_type"), "ts", "ts", Seq("asof_v"))
+      .select(col("event_id"), col("event_type"), col("asof_v"))
+      .orderBy(col("event_id"))
+  }
+
+  /** geoip-style enrichment (SURVEY §2.2): broadcast dimension lookup join —
+    * events enriched with a 25-row nation dim, aggregated per nation.
+    */
+  def enrichJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    e.withColumn("nkey", pmod(col("user_id"), lit(25)).cast("int"))
+      .join(broadcast(nation), col("nkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Prometheus text-format ingestion (SURVEY §2.1): parse exposition lines
+    * synthesized deterministically from events, then regroup _bucket/_sum/
+    * _count samples into histogram rows (ScalaTest-verified; no DuckDB
+    * analog for the parse).
+    */
+  def promTextParse(s: SparkSession, dir: String): DataFrame = {
+    val lines = EventQueries.events(s, dir).filter(col("event_id") < 2000).select(
+      concat(lit("graft_value{type=\""), col("event_type"),
+        lit("\",user=\""), col("user_id"), lit("\"} "), col("value")).as("line"))
+    graft.sources.PromText.parse(s, lines)
+      .groupBy(col("name"), element_at(col("labels"), "type").as("type"))
+      .agg(count(lit(1)).as("samples"), round(sum(col("value")), 4).as("sum_v"))
+      .orderBy(col("type"))
+  }
 }

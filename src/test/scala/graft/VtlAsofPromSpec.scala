@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.Vtl
+import graft.sources.PromText
+import graft.tiers.AsOfJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VtlAsofPromSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("VTL case styles (camel/pascal/snake/kebab)") {
+    val df = Seq("hello world", "FooBar-baz", "already_snake").toDF("s")
+    val got = df.select(
+      Vtl.camelcase($"s"), Vtl.pascalcase($"s"), Vtl.snakecase($"s"), Vtl.kebabcase($"s"))
+      .as[(String, String, String, String)].collect()
+    assert(got(0) == ("helloWorld", "HelloWorld", "hello_world", "hello-world"))
+    assert(got(1) == ("fooBarBaz", "FooBarBaz", "foo_bar_baz", "foo-bar-baz"))
+    assert(got(2) == ("alreadySnake", "AlreadySnake", "already_snake", "already-snake"))
+  }
+
+  test("VTL truncate/redact") {
+    val df = Seq("secret=hunter2 rest").toDF("s")
+    val got = df.select(
+      Vtl.truncateStr($"s", 6), Vtl.truncateStr($"s", 6, ellipsis = true),
+      Vtl.redact($"s", "secret=\\S+")).as[(String, String, String)].head()
+    assert(got == ("secret", "secret...", "[REDACTED] rest"))
+  }
+
+  test("VTL parse_bytes (decimal and binary units)") {
+    val df = Seq("1024", "1KiB", "1.5MiB", "2MB", "1GiB", "garbage").toDF("s")
+    val got = df.select(Vtl.parseBytes($"s")).as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(1024L), Some(1024L), Some((1.5 * (1 << 20)).toLong),
+      Some(2000000L), Some(1L << 30), None))
+  }
+
+  test("VTL parse_duration") {
+    val df = Seq("1h30m", "15s", "100ms", "2d", "nope").toDF("s")
+    val got = df.select(Vtl.parseDurationSecs($"s")).as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(5400.0), Some(15.0), Some(0.1), Some(172800.0), None))
+  }
+
+  test("VTL cidr_contains / is_ipv4") {
+    val df = Seq(("10.0.0.0/8", "10.1.2.3"), ("10.0.0.0/8", "11.1.2.3"),
+      ("192.168.1.0/24", "192.168.1.200")).toDF("cidr", "ip")
+    val got = df.select(Vtl.cidrContains($"cidr", $"ip")).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, true))
+    val ips = Seq("1.2.3.4", "256.1.1.1", "abc").toDF("s")
+    assert(ips.select(Vtl.isIpv4($"s")).as[Boolean].collect().toSeq == Seq(true, false, false))
+  }
+
+  test("VTL hashMod is stable and in range") {
+    val df = Seq("a", "b", "c", "a").toDF("s")
+    val got = df.select(Vtl.hashMod($"s", 16)).as[Long].collect()
+    assert(got(0) == got(3) && got.forall(v => v >= 0 && v < 16))
+  }
+
+  test("as-of join matches a hand-computed oracle incl. no-match nulls") {
+    val left = Seq(("k", 5L, "e1"), ("k", 10L, "e2"), ("k", 20L, "e3"), ("j", 7L, "e4"))
+      .toDF("key", "ts", "tag")
+    val right = Seq(("k", 4L, 1.0), ("k", 10L, 2.0), ("k", 15L, 3.0), ("x", 1L, 9.0))
+      .toDF("key", "ts", "v")
+    val got = AsOfJoin.asof(left, right, Seq("key"), "ts", "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    // e1@5 -> 1.0 (ts4); e2@10 -> 2.0 (<= includes equal ts); e3@20 -> 3.0; e4 (key j) -> null
+    assert(got == Map("e1" -> Some(1.0), "e2" -> Some(2.0), "e3" -> Some(3.0), "e4" -> None))
+  }
+
+  test("prometheus text parse: samples, labels, specials, comments") {
+    val lines = Seq(
+      "# HELP http_requests_total comment",
+      "# TYPE http_requests_total counter",
+      """http_requests_total{method="get",code="200"} 1027 1395066363000""",
+      "cpu_seconds 12.5",
+      """temp{city="x"} NaN""",
+      """up{} +Inf""",
+      "malformed line {{{").toDF("line")
+    val got = PromText.parse(spark, lines).collect()
+    assert(got.length == 4)
+    val first = got.find(_.getString(0) == "http_requests_total").get
+    assert(first.getAs[Map[String, String]](1) == Map("method" -> "get", "code" -> "200"))
+    assert(first.getDouble(2) == 1027.0)
+    assert(first.getAs[Long](3) == 1395066363000L)
+  }
+
+  test("histogram regroup: buckets/sum/count assembled per series") {
+    val lines = Seq(
+      """lat_bucket{svc="a",le="0.1"} 3""",
+      """lat_bucket{svc="a",le="0.5"} 5""",
+      """lat_bucket{svc="a",le="+Inf"} 7""",
+      """lat_sum{svc="a"} 1.7""",
+      """lat_count{svc="a"} 7""").toDF("line")
+    val parsed = PromText.parse(spark, lines)
+    val row = PromText.regroupHistograms(parsed).collect()(0)
+    assert(row.getAs[String]("family") == "lat")
+    assert(row.getAs[Map[String, String]]("series_labels") == Map("svc" -> "a"))
+    val buckets = row.getAs[collection.Seq[org.apache.spark.sql.Row]]("buckets")
+      .map(b => (b.getDouble(0), b.getDouble(1))).toSeq
+    assert(buckets == Seq((0.1, 3.0), (0.5, 5.0), (Double.PositiveInfinity, 7.0)))
+    assert(row.getAs[Double]("h_sum") == 1.7 && row.getAs[Long]("h_count") == 7L)
+  }
+}
