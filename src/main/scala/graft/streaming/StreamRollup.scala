@@ -61,4 +61,33 @@ object StreamRollup {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys)
+
+  /** Checkpointed streaming delivery into the lake (the reference's
+    * acknowledged, resumable sink path: disk-buffer ledger + finalizers,
+    * /root/reference/lib/buffer/src/disk/ledger.rs:36-47 + lib/finalize/):
+    * each micro-batch is appended through LakeTable — atomic per-partition
+    * manifest commit — under a Structured Streaming checkpoint, so delivery
+    * is exactly-once at partition granularity (a replayed batch's partitions
+    * are already committed and skipped).
+    *
+    * CONTRACT: `partKeyCol` must be unique per emitted window (e.g. include
+    * the window bucket) — each lake partition commits exactly once, so two
+    * windows sharing a partition key would drop the later one.
+    */
+  def sinkToLake(
+      rolled: DataFrame,
+      lake: graft.lake.LakeTable,
+      partKeyCol: org.apache.spark.sql.Column,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rolled.writeStream
+      .option("checkpointLocation", checkpointDir)
+      // append mode: a window is emitted exactly once, when the watermark
+      // closes it — an "update"-mode re-emit would be skipped by the lake's
+      // committed-partition check and silently dropped
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lake.append(batch.withColumn("pk", partKeyCol), lineage = s"stream batch=$batchId")
+        ()
+      }
+      .start()
 }

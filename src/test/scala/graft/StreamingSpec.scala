@@ -68,4 +68,42 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("dedup_out").select("k", "v").as[(String, Double)].collect().toSet
     assert(got == Set(("a", 1.0), ("b", 3.0), ("c", 5.0)))
   }
+
+  test("streaming sink to lake: windows land exactly once, resumable via checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("stream_lake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val lake = new graft.lake.LakeTable(spark, base, "stream_1m", "pk")
+    val stream = MemoryStream[(String, Long, Long, Double)]
+    val obs = stream.toDF().toDF("series", "ts", "seq", "value")
+    // watermark 0s: a window closes as soon as a later-window event arrives
+    val rolled = StreamRollup.rollupStream(obs, 60L, watermark = "0 seconds")
+    // pk must be unique per emitted window: a window appended into an
+    // already-committed partition would be skipped (exactly-once = partition
+    // granularity), so the partition key is the window bucket itself
+    val pk = concat(col("series"), lit("-"), col("bucket"))
+    val q = StreamRollup.sinkToLake(rolled, lake, pk, ckpt)
+    stream.addData(Seq(("a", 10L, 1L, 1.0), ("a", 20L, 2L, 2.0)))   // window 0
+    q.processAllAvailable()
+    stream.addData(Seq(("a", 70L, 3L, 3.0)))                        // window 60 opens, closes window 0
+    q.processAllAvailable()
+    stream.addData(Seq(("a", 130L, 4L, 4.0)))                       // advances wm past 120
+    q.processAllAvailable()
+    stream.addData(Seq(("a", 200L, 5L, 5.0)))                       // flush batch: emits window 60
+    q.processAllAvailable()
+    q.stop()
+    val rows = lake.read().select("series", "bucket", "sum_v", "cnt")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._2).toSeq
+    assert(rows == Seq(("a", 0L, 3.0, 2L), ("a", 60L, 3.0, 1L), ("a", 120L, 4.0, 1L)))
+    // restart from the same checkpoint: no duplicate emission of old windows
+    val stream2 = MemoryStream[(String, Long, Long, Double)]
+    val q2 = StreamRollup.sinkToLake(
+      StreamRollup.rollupStream(stream2.toDF().toDF("series", "ts", "seq", "value"),
+        60L, watermark = "0 seconds"), lake, pk, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(lake.read().count() == 3)
+  }
 }
