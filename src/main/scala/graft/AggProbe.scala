@@ -11,7 +11,7 @@ object AggProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val obs = TokenFixture.deriveObs(spark.read.parquet("/tmp/graft_bench/raw_v2_n16000000"))
+    val obs = TokenFixture.deriveObs(spark.read.parquet(sys.env.getOrElse("AGG_PROBE_RAW", "/tmp/graft_bench/raw_v2_n16000000")))
       .select("series", "ts", "seq", "value")
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
@@ -19,7 +19,7 @@ object AggProbe {
     }
     // warmup
     obs.groupBy("series").count().count()
-    (1 to 2).foreach { round =>
+    (1 to sys.env.getOrElse("AGG_PROBE_ROUNDS", "2").toInt).foreach { round =>
     println(s"--- round $round ---")
     time("hash-only (sum/count/min/max)") {
       obs.groupBy(col("series"), (floor(col("ts")/60)*60).cast("long").as("bucket"))

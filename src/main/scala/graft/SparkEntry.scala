@@ -71,7 +71,9 @@ object SparkEntry {
     // —— batch 3: joins + text-format ingestion ——
     "q33_asof_join" -> (MoreQueries.asofJoin _),
     "q34_enrich_join" -> (MoreQueries.enrichJoin _),
-    "q35_promtext" -> (MoreQueries.promTextParse _)
+    "q35_promtext" -> (MoreQueries.promTextParse _),
+    "q36_remote_write_batches" -> (MoreQueries.remoteWriteBatches _),
+    "q37_exporter_render" -> (MoreQueries.exporterRender _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -265,6 +267,13 @@ object SparkEntry {
       """SELECT 'graft_value' AS name, event_type AS type,
         | count(*) AS samples, round(sum(value),4) AS sum_v
         |FROM events WHERE event_id < 2000
-        |GROUP BY 2 ORDER BY type""".stripMargin
+        |GROUP BY 2 ORDER BY type""".stripMargin,
+    "q36_remote_write_batches" ->
+      """WITH b AS (SELECT event_type,
+        |  ((row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)) - 1) // 1000 AS batch_id
+        |  FROM events),
+        |s AS (SELECT event_type, batch_id, count(*) AS n FROM b GROUP BY 1,2)
+        |SELECT event_type, count(*) AS n_batches, max(n) AS max_batch, min(n) AS min_batch
+        |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -30,20 +30,54 @@ object Pages {
   def encodePage(ts: Column, vs: Column): Column = encodeUdf(ts, vs)
   def roundtripOk(page: Column, ts: Column, vs: Column): Column = decodeCheckUdf(page, ts, vs)
 
-  /** obs (series, ts, seq, value) → one compressed page per (series, bucket). */
+  final case class PageRow(series: String, bucket: Long, n_points: Int,
+      page: Array[Byte], roundtrip_ok: Boolean)
+
+  /** obs (series, ts, seq, value) → one compressed page per (series, bucket).
+    *
+    * Streaming formulation: hash-repartition on (series, bucket), sort within
+    * partitions, then a single forward pass groups consecutive keys and
+    * encodes each page. Memory is bounded by ONE page per task — the
+    * collect_list formulation materialized every group as an array struct
+    * (~16M rows at bench scale), which was GC-bound and did not scale with
+    * cores (measured 11.1s→9.9s from local[8]→local[32]; this path scales).
+    */
   def pagesFromObs(obs: DataFrame, bucketSec: Long): DataFrame = {
-    val bucket = (floor(col("ts") / bucketSec) * bucketSec).cast("long").as("bucket")
-    obs
-      .groupBy(col("series"), bucket)
-      .agg(sort_array(collect_list(struct(col("ts"), col("seq"), col("value")))).as("_pts"))
-      .select(col("series"), col("bucket"),
-        transform(col("_pts"), p => p("ts")).as("_ts"),
-        transform(col("_pts"), p => p("value")).as("_vs"))
-      .withColumn("page", encodePage(col("_ts"), col("_vs")))
-      .select(col("series"), col("bucket"),
-        size(col("_ts")).as("n_points"),
-        col("page"),
-        roundtripOk(col("page"), col("_ts"), col("_vs")).as("roundtrip_ok"))
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val withBucket = obs.select(col("series"),
+      (floor(col("ts") / bucketSec) * bucketSec).cast("long").as("bucket"),
+      col("ts"), col("seq"), col("value"))
+    val parted = withBucket
+      .repartition(col("series"), col("bucket"))
+      .sortWithinPartitions("series", "bucket", "ts", "seq")
+      .as[(String, Long, Long, Long, Double)]
+    parted.mapPartitions { it =>
+      new Iterator[PageRow] {
+        private var pending: (String, Long, Long, Long, Double) =
+          if (it.hasNext) it.next() else null
+        def hasNext: Boolean = pending != null
+        def next(): PageRow = {
+          val series = pending._1
+          val bucket = pending._2
+          val tsBuf = scala.collection.mutable.ArrayBuilder.make[Long]
+          val vsBuf = scala.collection.mutable.ArrayBuilder.make[Double]
+          while (pending != null && pending._1 == series && pending._2 == bucket) {
+            tsBuf += pending._3
+            vsBuf += pending._5
+            pending = if (it.hasNext) it.next() else null
+          }
+          val ts = tsBuf.result()
+          val vs = vsBuf.result()
+          val page = GorillaCodec.encode(ts, vs)
+          val (ts2, vs2) = GorillaCodec.decode(page)
+          val ok = ts2.sameElements(ts) && vs2.length == vs.length &&
+            vs.indices.forall(i => java.lang.Double.doubleToRawLongBits(vs2(i)) ==
+              java.lang.Double.doubleToRawLongBits(vs(i)))
+          PageRow(series, bucket, ts.length, page, ok)
+        }
+      }
+    }.toDF()
   }
 
   /** Pages with raw byte size vs uncompressed size, for compression metrics. */

@@ -72,11 +72,21 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     }
     fs.delete(new Path(staging), true)
 
-    // per-partition row counts from the written files (footer-driven count)
-    val counts = spark.read.option("basePath", dataDir).parquet(
-        todo.map(p => s"$dataDir/$partCol=$p"): _*)
-      .groupBy(col(partCol).cast("string").as("p")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-partition row counts straight from parquet footers on the driver —
+    // a Spark job here would add a whole scheduling round-trip per append
+    // (measured ~1s each; 7 appends per cascade made it the scaling floor)
+    val counts: Map[String, Long] = todo.map { p =>
+      val d = new Path(s"$dataDir/$partCol=$p")
+      val rows = fs.listStatus(d).iterator
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      p -> rows
+    }.toMap
 
     todo.foreach { p =>
       val files = {

@@ -169,4 +169,32 @@ object MoreQueries {
       .agg(count(lit(1)).as("samples"), round(sum(col("value")), 4).as("sum_v"))
       .orderBy(col("type"))
   }
+
+  /** remote-write batch shaping (SURVEY §2.1 sink: <=1000 events per request
+    * per tenant, deterministic (ts,seq) packing): per-tenant batch census.
+    */
+  def remoteWriteBatches(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+    graft.functions.Exporter.batchSummaries(e, "event_type", "ts", "event_id", maxEvents = 1000)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_batches"),
+        max(col("batch_events")).as("max_batch"),
+        min(col("batch_events")).as("min_batch"))
+      .orderBy(col("event_type"))
+  }
+
+  /** exporter text render (SURVEY §2.1: GET /metrics body ordered by name +
+    * canonical sorted labels): render the latest value per series and count
+    * lines/characters per metric name (rows-only; ordering itself is
+    * ScalaTest-verified).
+    */
+  def exporterRender(s: SparkSession, dir: String): DataFrame = {
+    val latest = EventQueries.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
+      .select(lit("graft_latest").as("name"),
+        map(lit("type"), col("event_type"), lit("user"), col("user_id").cast("string")).as("tags"),
+        col("value"))
+    graft.functions.Exporter.renderText(latest)
+  }
 }

@@ -25,32 +25,83 @@ object TierCascade {
 
   /** Run the full cascade. `obs` must provide (series, ts, seq, value).
     * @param salts >1 enables the two-phase salted rollup for hot series.
+    * @param withHistograms also materialize cumulative-bucket histogram tiers
+    *        (1m from raw, 1h/1d by element-wise bucket merge) — the vertex
+    *        Histogram rollup (north_star "histogram/summary rollups").
+    * @param withPages also materialize Gorilla delta-of-delta+XOR binary
+    *        pages per (series, hour), resumable like every other tier.
     */
   def run(
       spark: SparkSession,
       obs: DataFrame,
       basePath: String,
       seriesBuckets: Int = 8,
-      salts: Int = 1): Seq[TierResult] = {
+      salts: Int = 1,
+      withHistograms: Boolean = false,
+      withPages: Boolean = false,
+      cacheObs: Boolean = false): Seq[TierResult] = {
+    // One shared scan for the three raw consumers (1m rollup, histogram,
+    // pages): obs is a narrow 4-column projection, far smaller than the raw
+    // table, so caching it trades a bounded memory footprint for two full
+    // re-reads of the source (which this sandbox's proactive page-cache
+    // reclaim makes disk-bound every time).
+    val obsIn = if (cacheObs) obs.persist() else obs
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[cascade] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
-    val t1m = if (salts > 1) TierRollup.fromObsSalted(obs, 60L, salts)
-              else TierRollup.fromObs(obs, 60L)
+    val t1m = if (salts > 1) TierRollup.fromObsSalted(obsIn, 60L, salts)
+              else TierRollup.fromObs(obsIn, 60L)
     val lake1m = new LakeTable(spark, basePath, "tier_1m", "pk")
-    val new1m = lake1m.append(t1m.withColumn("pk", partKey(seriesBuckets)),
-      lineage = "raw->1m rollup bucket=60s")
+    val new1m = timed("raw->1m")(lake1m.append(t1m.withColumn("pk", partKey(seriesBuckets)),
+      lineage = "raw->1m rollup bucket=60s"))
 
     val lake1h = new LakeTable(spark, basePath, "tier_1h", "pk")
     val t1h = TierRollup.mergeTier(lake1m.read().drop("pk"), 3600L)
-    val new1h = lake1h.append(t1h.withColumn("pk", partKey(seriesBuckets)),
-      lineage = "1m->1h mergeTier bucket=3600s")
+    val new1h = timed("1m->1h")(lake1h.append(t1h.withColumn("pk", partKey(seriesBuckets)),
+      lineage = "1m->1h mergeTier bucket=3600s"))
 
     val lake1d = new LakeTable(spark, basePath, "tier_1d", "pk")
     val t1d = TierRollup.mergeTier(lake1h.read().drop("pk"), 86400L)
-    val new1d = lake1d.append(t1d.withColumn("pk", partKey(seriesBuckets)),
-      lineage = "1h->1d mergeTier bucket=86400s")
+    val new1d = timed("1h->1d")(lake1d.append(t1d.withColumn("pk", partKey(seriesBuckets)),
+      lineage = "1h->1d mergeTier bucket=86400s"))
 
-    Seq(TierResult("1m", lake1m, new1m), TierResult("1h", lake1h, new1h),
+    val core = Seq(TierResult("1m", lake1m, new1m), TierResult("1h", lake1h, new1h),
       TierResult("1d", lake1d, new1d))
+
+    val hist = if (!withHistograms) Nil else {
+      val ladder = graft.model.Schemas.bucketLadder
+      val lakeH1m = new LakeTable(spark, basePath, "hist_1m", "pk")
+      val h1m = TierRollup.histogramFromObs(obsIn, ladder, 60L)
+      val newH1m = timed("raw->hist_1m")(lakeH1m.append(h1m.withColumn("pk", partKey(seriesBuckets)),
+        lineage = "raw->hist_1m cumulative ladder"))
+      val lakeH1h = new LakeTable(spark, basePath, "hist_1h", "pk")
+      val newH1h = timed("hist_1m->1h")(lakeH1h.append(
+        TierRollup.mergeHistogramTier(lakeH1m.read().drop("pk"), ladder.length, 3600L)
+          .withColumn("pk", partKey(seriesBuckets)),
+        lineage = "hist_1m->hist_1h bucket merge"))
+      val lakeH1d = new LakeTable(spark, basePath, "hist_1d", "pk")
+      val newH1d = timed("hist_1h->1d")(lakeH1d.append(
+        TierRollup.mergeHistogramTier(lakeH1h.read().drop("pk"), ladder.length, 86400L)
+          .withColumn("pk", partKey(seriesBuckets)),
+        lineage = "hist_1h->hist_1d bucket merge"))
+      Seq(TierResult("hist_1m", lakeH1m, newH1m), TierResult("hist_1h", lakeH1h, newH1h),
+        TierResult("hist_1d", lakeH1d, newH1d))
+    }
+
+    val pages = if (!withPages) Nil else {
+      val lakeP = new LakeTable(spark, basePath, "pages_1h", "pk")
+      val p = graft.functions.Pages.pagesFromObs(obsIn, 3600L)
+      val newP = timed("raw->pages_1h")(lakeP.append(p.withColumn("pk", partKey(seriesBuckets)),
+        lineage = "raw->pages_1h gorilla dod+xor"))
+      Seq(TierResult("pages_1h", lakeP, newP))
+    }
+
+    if (cacheObs) obsIn.unpersist(blocking = false)
+    core ++ hist ++ pages
   }
 
   /** Retention sweep: per-tier TTLs (seconds of bucket age vs the tier's

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.Exporter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sink-side shaping semantics vs the reference (SURVEY §2.1 sinks):
+  * remote-write batch packing and exporter text rendering order.
+  */
+class ExporterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("batch packing: <=maxEvents per (tenant, batch), deterministic order") {
+    val rows = (0 until 25).map(i => (s"t${i % 2}", 100L + i, i.toLong, i.toDouble))
+    val df = rows.toDF("tenant", "ts", "seq", "value")
+    val batches = Exporter.batchSummaries(df, "tenant", "ts", "seq", maxEvents = 5)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    // t0 has 13 events -> batches of 5,5,3; t1 has 12 -> 5,5,2
+    val t0 = batches.filter(_._1 == "t0").map(_._3).toSeq
+    val t1 = batches.filter(_._1 == "t1").map(_._3).toSeq
+    assert(t0 == Seq(5L, 5L, 3L), s"t0 $t0")
+    assert(t1 == Seq(5L, 5L, 2L), s"t1 $t1")
+    // ts spans don't overlap between consecutive batches of one tenant
+    val spans = batches.filter(_._1 == "t0").map(b => (b._4, b._5))
+    spans.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo); case _ => }
+  }
+
+  test("canonical labels: key-sorted regardless of map insertion order") {
+    val df = Seq(1).toDF("x").select(
+      Exporter.canonicalLabels(map(lit("z"), lit("1"), lit("a"), lit("2"))).as("c"))
+    assert(df.as[String].head() == "a=\"2\",z=\"1\"")
+  }
+
+  test("renderText: lines ordered by (name, canonical labels), exposition shape") {
+    val rows = Seq(
+      ("metric_b", Map("h" -> "1"), 2.0),
+      ("metric_a", Map("z" -> "9", "a" -> "0"), 1.5),
+      ("metric_a", Map("a" -> "0"), 3.0))
+    val df = rows.toDF("name", "tags", "value")
+    val lines = Exporter.renderText(df).as[String].collect().toSeq
+    assert(lines == Seq(
+      """metric_a{a="0"} 3.0""",
+      """metric_a{a="0",z="9"} 1.5""",
+      """metric_b{h="1"} 2.0"""))
+  }
+}
