@@ -45,8 +45,14 @@ final class BitWriter(initialWords: Int = 16) {
 
   def lengthBits: Long = bitLen
 
-  /** Snapshot to a byte array: [4-byte big-endian bit length][packed words]. */
+  /** Snapshot to a byte array: [4-byte big-endian bit length][packed words].
+    * The header is 32-bit, so pages are capped at 2^32-1 bits (~512 MB) —
+    * fail loudly rather than silently truncating the length and decoding
+    * garbage (a degenerate hot (series,bucket) group could otherwise hit it).
+    */
   def toByteArray: Array[Byte] = {
+    require(bitLen <= 0xFFFFFFFFL,
+      s"page overflows the 32-bit length header: $bitLen bits — split the (series,bucket) group")
     val nBytes = ((bitLen + 7) >>> 3).toInt
     val out = new Array[Byte](4 + nBytes)
     out(0) = (bitLen >>> 24).toByte

@@ -95,8 +95,47 @@ object Vtl {
   def isIpv4(c: Column): Column =
     c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
 
-  def isIpv6(c: Column): Column =
-    c.rlike("^([0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$")
+  /** Real structural IPv6 validation (function/is_ipv6.rs uses Rust's
+    * std parser): at most one `::`, ≤8 groups (exactly 8 when uncompressed),
+    * 1–4 hex digits per group, optional trailing dotted-quad IPv4
+    * (counts as two groups). A regex alone admits junk like ":::::".
+    */
+  private val ipv6Udf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      def validGroup(g: String): Boolean =
+        g.nonEmpty && g.length <= 4 && g.forall(ch =>
+          (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F'))
+      def validIpv4(g: String): Boolean = {
+        val oct = g.split("\\.", -1)
+        oct.length == 4 && oct.forall(o =>
+          o.nonEmpty && o.length <= 3 && o.forall(_.isDigit) && o.toInt <= 255 &&
+            (o.length == 1 || o.head != '0'))
+      }
+      val compressed = s.indexOf("::")
+      val ok =
+        if (compressed >= 0 && s.indexOf("::", compressed + 1) >= 0) false // two "::"
+        else if (compressed >= 0) {
+          val (l, r) = (s.substring(0, compressed), s.substring(compressed + 2))
+          val left = if (l.isEmpty) Array.empty[String] else l.split(":", -1)
+          val rightRaw = if (r.isEmpty) Array.empty[String] else r.split(":", -1)
+          val v4 = rightRaw.nonEmpty && rightRaw.last.contains('.')
+          val right = if (v4) rightRaw.dropRight(1) else rightRaw
+          val groups = left.length + right.length + (if (v4) 2 else 0)
+          groups <= 7 && // "::" stands for at least one zero group
+            left.forall(validGroup) && right.forall(validGroup) &&
+            (!v4 || validIpv4(rightRaw.last))
+        } else {
+          val raw = s.split(":", -1)
+          val v4 = raw.nonEmpty && raw.last.contains('.')
+          val head = if (v4) raw.dropRight(1) else raw
+          val groups = head.length + (if (v4) 2 else 0)
+          groups == 8 && head.forall(validGroup) && (!v4 || validIpv4(raw.last))
+        }
+      java.lang.Boolean.valueOf(ok)
+    }
+  }
+  def isIpv6(c: Column): Column = ipv6Udf(c)
 
   private val cidrUdf = udf { (cidr: String, ip: String) =>
     try {
@@ -116,10 +155,15 @@ object Vtl {
   }
   def cidrContains(cidr: Column, ip: Column): Column = cidrUdf(cidr, ip)
 
-  /** HashMod relabel op (md5 % m — relabel.rs HashMod,
-    * /root/reference/src/transforms/relabel.rs:15-52): low 8 hex digits of
-    * md5, mod m — pure built-ins.
+  /** HashMod relabel op (relabel.rs HashMod,
+    * /root/reference/src/transforms/relabel.rs:84-128): the LOW 8 BYTES of
+    * md5 — md5[8..16] read as a big-endian unsigned u64 — mod m. Hex chars
+    * 17..32 are exactly bytes 8..16; conv(…,16,10) yields the unsigned
+    * decimal string, carried through decimal(20,0) (can exceed Long.Max)
+    * before the mod. Pure built-ins, codegen'd; parity with the reference
+    * is ScalaTest-verified against a JVM MessageDigest oracle.
     */
   def hashMod(c: Column, m: Int): Column =
-    pmod(conv(substring(md5(c), 25, 8), 16, 10).cast("long"), lit(m.toLong))
+    pmod(conv(substring(md5(c), 17, 16), 16, 10).cast("decimal(20,0)"),
+      lit(m.toLong).cast("decimal(20,0)")).cast("long")
 }

@@ -20,30 +20,83 @@ object PromText {
   final case class Sample(name: String, labels: Map[String, String], value: Double,
       ts: Option[Long])
 
-  /** Parse one exposition line; None for comments/blank/malformed. */
+  /** Parse one exposition line; None for comments/blank/malformed.
+    *
+    * Quote-aware label scan matching the reference grammar
+    * (/root/reference/lib/prometheus/src/text.rs): label values are
+    * double-quoted strings with `\"`, `\\` and `\n` escapes, and may contain
+    * commas and `}` — a naive split on `,` (the round-1 bug) mis-parses them.
+    */
   def parseLine(line: String): Option[Sample] = {
     val trimmed = line.trim
     if (trimmed.isEmpty || trimmed.startsWith("#")) return None
-    val re = """^([A-Za-z_:][A-Za-z0-9_:]*)(\{([^}]*)\})?\s+([^\s]+)(\s+(-?\d+))?$""".r
-    trimmed match {
-      case re(name, _, labelStr, valueStr, _, tsStr) =>
-        val labels: Map[String, String] =
-          if (labelStr == null || labelStr.isEmpty) Map.empty
-          else labelStr.split(",").iterator.flatMap { kv =>
-            val i = kv.indexOf('=')
-            if (i < 0) None
-            else Some(kv.substring(0, i).trim ->
-              kv.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\""))
-          }.toMap
-        val v = valueStr match {
-          case "+Inf" => Double.PositiveInfinity
-          case "-Inf" => Double.NegativeInfinity
-          case "NaN" => Double.NaN
-          case s => try s.toDouble catch { case _: NumberFormatException => return None }
+    var i = 0
+    val n = trimmed.length
+    def isNameStart(c: Char) = c.isLetter || c == '_' || c == ':'
+    def isNameChar(c: Char) = c.isLetterOrDigit || c == '_' || c == ':'
+    if (i >= n || !isNameStart(trimmed(i))) return None
+    val nameStart = i
+    while (i < n && isNameChar(trimmed(i))) i += 1
+    val name = trimmed.substring(nameStart, i)
+
+    var labels = Map.empty[String, String]
+    if (i < n && trimmed(i) == '{') {
+      i += 1
+      var done = false
+      while (!done) {
+        while (i < n && (trimmed(i) == ' ' || trimmed(i) == ',')) i += 1
+        if (i >= n) return None // unterminated label block
+        if (trimmed(i) == '}') { i += 1; done = true }
+        else {
+          if (!isNameStart(trimmed(i))) return None
+          val ks = i
+          while (i < n && isNameChar(trimmed(i))) i += 1
+          val key = trimmed.substring(ks, i)
+          while (i < n && trimmed(i) == ' ') i += 1
+          if (i >= n || trimmed(i) != '=') return None
+          i += 1
+          while (i < n && trimmed(i) == ' ') i += 1
+          if (i >= n || trimmed(i) != '"') return None
+          i += 1
+          val sb = new StringBuilder
+          var closed = false
+          while (!closed) {
+            if (i >= n) return None // unterminated string
+            trimmed(i) match {
+              case '"' => closed = true; i += 1
+              case '\\' =>
+                if (i + 1 >= n) return None
+                trimmed(i + 1) match {
+                  case 'n' => sb.append('\n')
+                  case '\\' => sb.append('\\')
+                  case '"' => sb.append('"')
+                  case other => sb.append(other) // lenient: keep unknown escapes
+                }
+                i += 2
+              case c => sb.append(c); i += 1
+            }
+          }
+          labels = labels.updated(key, sb.toString)
         }
-        Some(Sample(name, labels, v, Option(tsStr).map(_.toLong)))
-      case _ => None
+      }
     }
+    while (i < n && (trimmed(i) == ' ' || trimmed(i) == '\t')) i += 1
+    if (i >= n) return None
+    val vs = i
+    while (i < n && trimmed(i) != ' ' && trimmed(i) != '\t') i += 1
+    val valueStr = trimmed.substring(vs, i)
+    while (i < n && (trimmed(i) == ' ' || trimmed(i) == '\t')) i += 1
+    val tsStr = if (i < n) trimmed.substring(i).trim else ""
+    val v = valueStr match {
+      case "+Inf" => Double.PositiveInfinity
+      case "-Inf" => Double.NegativeInfinity
+      case "NaN" => Double.NaN
+      case s => try s.toDouble catch { case _: NumberFormatException => return None }
+    }
+    val ts =
+      if (tsStr.isEmpty) None
+      else try Some(tsStr.toLong) catch { case _: NumberFormatException => return None }
+    Some(Sample(name, labels, v, ts))
   }
 
   /** Lines dataset → flat samples frame (name, labels, value, ts). */

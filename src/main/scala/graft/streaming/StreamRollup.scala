@@ -52,15 +52,18 @@ object StreamRollup {
         col("last_v"), col("last_ts"))
 
   /** Streaming dedup (SURVEY §2.6 dedup transform): first occurrence per key
-    * passes; duplicate suppression state is bounded by the watermark (the
-    * reference bounds it with an LRU of 4096 entries instead —
-    * /root/reference/src/transforms/dedup.rs:54-56).
+    * passes. State really IS bounded here: dropDuplicatesWithinWatermark
+    * evicts a key's state once the watermark passes its event time — plain
+    * dropDuplicates(keys) without the event-time column in the key set never
+    * evicts and grows without bound on a long-running stream. (The reference
+    * bounds its state with an LRU of 4096 entries instead —
+    * /root/reference/src/transforms/dedup.rs:54-56.)
     */
   def dedupStream(events: DataFrame, keys: Seq[String], tsCol: String,
       watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keys)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Checkpointed streaming delivery into the lake (the reference's
     * acknowledged, resumable sink path: disk-buffer ledger + finalizers,

@@ -58,7 +58,10 @@ class StreamingSpec extends AnyFunSuite {
     val df = stream.toDF().toDF("k", "ts", "v")
       .withColumn("ts_ts", org.apache.spark.sql.functions.timestamp_seconds(
         org.apache.spark.sql.functions.col("ts")))
-    val deduped = StreamRollup.dedupStream(df, Seq("k"), "ts_ts", "0 seconds")
+    // watermark wide enough that both batches fall inside it: state is
+    // bounded by the watermark (dropDuplicatesWithinWatermark) but nothing
+    // is evicted within the test window
+    val deduped = StreamRollup.dedupStream(df, Seq("k"), "ts_ts", "1 hour")
     val q = deduped.writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
     stream.addData(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0)))

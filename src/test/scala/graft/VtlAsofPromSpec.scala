@@ -57,10 +57,35 @@ class VtlAsofPromSpec extends AnyFunSuite {
     assert(ips.select(Vtl.isIpv4($"s")).as[Boolean].collect().toSeq == Seq(true, false, false))
   }
 
-  test("VTL hashMod is stable and in range") {
-    val df = Seq("a", "b", "c", "a").toDF("s")
-    val got = df.select(Vtl.hashMod($"s", 16)).as[Long].collect()
-    assert(got(0) == got(3) && got.forall(v => v >= 0 && v < 16))
+  test("VTL hashMod matches the reference md5[8..16]-as-u64 semantics") {
+    // JVM oracle of relabel.rs HashMod: md5 bytes [8..16) as big-endian
+    // unsigned u64, mod m (Rust: u64::from_be_bytes(md5[8..]) % modules)
+    def refHashMod(s: String, m: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      val u = java.math.BigInteger.valueOf(0)
+        .add(new java.math.BigInteger(1, d.slice(8, 16)))
+      u.mod(java.math.BigInteger.valueOf(m)).longValueExact()
+    }
+    val inputs = Seq("a", "b", "c", "a", "hello", "node-exporter", "9987",
+      "über", "x" * 300)
+    // m=7 (non-power-of-two) exposes the old low-32-bit bug; m=16 covers pow2
+    for (m <- Seq(7, 16, 1000)) {
+      val got = inputs.toDF("s").select(Vtl.hashMod($"s", m)).as[Long].collect().toSeq
+      assert(got == inputs.map(refHashMod(_, m)), s"m=$m")
+    }
+  }
+
+  test("VTL is_ipv6 accepts real addresses and rejects junk") {
+    val good = Seq("::1", "2001:db8::1", "fe80::1ff:fe23:4567:890a",
+      "2001:0db8:85a3:0000:0000:8a2e:0370:7334", "::", "::ffff:192.168.1.1",
+      "64:ff9b::192.0.2.33")
+    val bad = Seq(":::::", "2001:::1", "12345::1", "1:2:3:4:5:6:7:8:9",
+      "1:2:3:4:5:6:7", "g::1", "1.2.3.4", "", "::ffff:256.1.1.1", ":")
+    val got = (good ++ bad).toDF("s").select(Vtl.isIpv6($"s")).as[Boolean].collect().toSeq
+    assert(got == (good.map(_ => true) ++ bad.map(_ => false)),
+      (good ++ bad).zip(got).filter { case (s, v) =>
+        v != good.contains(s)
+      }.mkString(", "))
   }
 
   test("as-of join matches a hand-computed oracle incl. no-match nulls") {
@@ -89,6 +114,24 @@ class VtlAsofPromSpec extends AnyFunSuite {
     assert(first.getAs[Map[String, String]](1) == Map("method" -> "get", "code" -> "200"))
     assert(first.getDouble(2) == 1027.0)
     assert(first.getAs[Long](3) == 1395066363000L)
+  }
+
+  test("prometheus text parse: commas, escaped quotes, braces in label values") {
+    // legal exposition format the round-1 split-on-comma parser mis-parsed
+    val lines = Seq(
+      """m{a="x,y",b="z"} 1""",
+      """m{a="say \"hi\"",b="back\\slash"} 2""",
+      """m{a="line\nbreak"} 3""",
+      """m{a="closing } brace, yes"} 4""",
+      """m{a="unterminated} 5""").toDF("line")
+    val got = PromText.parse(spark, lines)
+      .select("labels", "value").collect()
+      .map(r => r.getAs[Map[String, String]](0) -> r.getDouble(1)).toMap
+    assert(got == Map(
+      Map("a" -> "x,y", "b" -> "z") -> 1.0,
+      Map("a" -> "say \"hi\"", "b" -> "back\\slash") -> 2.0,
+      Map("a" -> "line\nbreak") -> 3.0,
+      Map("a" -> "closing } brace, yes") -> 4.0))
   }
 
   test("histogram regroup: buckets/sum/count assembled per series") {
