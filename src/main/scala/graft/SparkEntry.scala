@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DocQueries, EventQueries, MoreQueries}
+import graft.queries.{DocQueries, EventQueries, MoreQueries, TagQueries}
 import graft.sources.TokenFixture
 import graft.tiers.{TierCascade, TierRollup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -73,7 +73,9 @@ object SparkEntry {
     "q34_enrich_join" -> (MoreQueries.enrichJoin _),
     "q35_promtext" -> (MoreQueries.promTextParse _),
     "q36_remote_write_batches" -> (MoreQueries.remoteWriteBatches _),
-    "q37_exporter_render" -> (MoreQueries.exporterRender _)
+    "q37_exporter_render" -> (MoreQueries.exporterRender _),
+    // —— batch 4 (round 2): tag-map metric model ——
+    "q38_relabel_tags" -> (TagQueries.relabelTags _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -274,6 +276,7 @@ object SparkEntry {
         |  FROM events),
         |s AS (SELECT event_type, batch_id, count(*) AS n FROM b GROUP BY 1,2)
         |SELECT event_type, count(*) AS n_batches, max(n) AS max_batch, min(n) AS min_batch
-        |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q38_relabel_tags" -> TagQueries.relabelTagsOracle
   )
 }

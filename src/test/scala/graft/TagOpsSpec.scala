@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.TagOps
+import graft.functions.TagOps._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-driven relabel op cases mirroring the reference's own tests
+  * (/root/reference/src/transforms/relabel.rs:190-384), plus map-model
+  * properties the reference's BTreeMap gives for free (canonical ordering).
+  */
+class TagOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def run(input: Map[String, String], op: TagOp): Map[String, String] = {
+    val df = Seq(1).toDF("x")
+      .withColumn("tags",
+        if (input.isEmpty) map().cast("map<string,string>")
+        else map(input.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+    df.select(applyOps(col("tags"), Seq(op)).as("t"))
+      .as[Map[String, String]].head()
+  }
+
+  test("add inserts only when absent (relabel.rs add/add_failed)") {
+    assert(run(Map("k1" -> "v1"), AddTag("k2", lit("v2"))) == Map("k1" -> "v1", "k2" -> "v2"))
+    assert(run(Map("k1" -> "v1"), AddTag("k1", lit("zzz"))) == Map("k1" -> "v1"))
+  }
+
+  test("set overwrites (relabel.rs set)") {
+    assert(run(Map("k1" -> "v1"), SetTag("k1", lit("v2"))) == Map("k1" -> "v2"))
+    assert(run(Map.empty[String, String], SetTag("k1", lit("v1"))) == Map("k1" -> "v1"))
+  }
+
+  test("delete (relabel.rs delete)") {
+    assert(run(Map("k1" -> "v1"), DeleteTag("k1")) == Map.empty)
+    assert(run(Map("k1" -> "v1"), DeleteTag("nope")) == Map("k1" -> "v1"))
+  }
+
+  test("rename moves value, only when source exists, overwriting target") {
+    assert(run(Map("k1" -> "v1"), RenameTag("k1", "k2")) == Map("k2" -> "v1"))
+    assert(run(Map("k1" -> "v1"), RenameTag("kx", "k2")) == Map("k1" -> "v1"))
+    assert(run(Map("k1" -> "v1", "k2" -> "old"), RenameTag("k1", "k2")) == Map("k2" -> "v1"))
+  }
+
+  test("lowercase/uppercase touch only the target key (relabel.rs)") {
+    assert(run(Map("k1" -> "VVV", "k2" -> "KEEP"), LowercaseTag("k1")) ==
+      Map("k1" -> "vvv", "k2" -> "KEEP"))
+    assert(run(Map("k1" -> "v1v"), UppercaseTag("k1")) == Map("k1" -> "V1V"))
+  }
+
+  test("hashmod matches the reference golden case (relabel.rs hashmod: baz%1000=976)") {
+    assert(run(Map("c" -> "baz"), HashModTag("c", None, 1000)) == Map("c" -> "976"))
+    // explicit target leaves the source in place
+    assert(run(Map("c" -> "baz"), HashModTag("c", Some("t"), 1000)) ==
+      Map("c" -> "baz", "t" -> "976"))
+    // absent source: unchanged
+    assert(run(Map("a" -> "b"), HashModTag("c", None, 1000)) == Map("a" -> "b"))
+  }
+
+  test("drop retains keys NOT matching, unanchored (relabel.rs labeldrop)") {
+    assert(run(Map("a" -> "foo", "b1" -> "bar", "b2" -> "baz"), DropTags("(b.*)")) ==
+      Map("a" -> "foo"))
+  }
+
+  test("keep retains only matching keys") {
+    assert(run(Map("a" -> "foo", "b1" -> "bar", "b2" -> "baz"), KeepTags("(b.*)")) ==
+      Map("b1" -> "bar", "b2" -> "baz"))
+  }
+
+  test("op chain composes in order; canonical form + series key are order-free") {
+    val df = Seq(
+      ("web", Map("env" -> "PROD", "tmp" -> "x")),
+      ("web", Map("tmp" -> "y", "env" -> "PROD"))).toDF("name", "tags")
+    val ops = Seq(LowercaseTag("env"), DeleteTag("tmp"), SetTag("app", lit("graft")))
+    val out = df.select(
+      TagOps.canonicalTags(applyOps(col("tags"), ops)).as("c"),
+      TagOps.seriesKey(col("name"), applyOps(col("tags"), ops)).as("sk"))
+      .as[(String, Long)].collect()
+    assert(out(0)._1 == "app=graft,env=prod")
+    // same logical tags in different insertion order → identical identity
+    assert(out(0) == out(1))
+  }
+}
