@@ -99,9 +99,10 @@ object SparkEntry {
         |  SELECT event_type, (floor(epoch(ts))::BIGINT // 60) * 60 AS bucket,
         |         count(*) AS cnt, arg_max(value, ts) AS last_v
         |  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY 1,2),
-        |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM tier),
+        |bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |           FROM tier GROUP BY 1),
         |spine AS (SELECT event_type, unnest(generate_series(lo, hi, 60)) AS bucket
-        |          FROM (SELECT DISTINCT event_type FROM tier), bounds)
+        |          FROM bounds)
         |SELECT sp.event_type, sp.bucket, coalesce(t.cnt, 0) AS cnt,
         |  (t.cnt IS NULL) AS is_gap,
         |  last_value(t.last_v IGNORE NULLS) OVER (PARTITION BY sp.event_type

@@ -33,13 +33,47 @@ object Exporter {
   /** Assign remote-write batch ids: within each tenant, events are ordered by
     * (ts, seq) and packed into batches of maxEvents. Returns the frame with
     * (tenant, batch_id) columns.
+    *
+    * Two-level packing (round-2 rewrite): a row_number() window partitioned
+    * by tenant alone makes ONE task sort a whole tenant — a straggler wall at
+    * low tenant cardinality. Instead the global rank is composed from
+    *  (1) per-(tenant, time-chunk) counts → cumulative offsets, a window over
+    *      a tenants×chunks-sized frame only, broadcast-joined back, and
+    *  (2) a local row_number() within (tenant, chunk) — parallelism is
+    *      tenants × numChunks, and no task ever sorts more than one chunk.
+    * The (ts, seq) order is total, so batch ids are identical to the
+    * single-window formulation under any partitioning.
     */
   def assignBatches(df: DataFrame, tenantCol: String, tsCol: String, seqCol: String,
-      maxEvents: Int = 1000): DataFrame = {
-    val w = Window.partitionBy(col(tenantCol)).orderBy(col(tsCol), col(seqCol))
-    df.withColumn("_rn", row_number().over(w))
+      maxEvents: Int = 1000, numChunks: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // order-preserving long form of the event time (µs for timestamps;
+    // TIMESTAMP_NTZ has no direct long cast)
+    val t = df.schema(tsCol).dataType match {
+      case TimestampNTZType => unix_micros(col(tsCol).cast("timestamp"))
+      case TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val Array(lo, hi) = {
+      val r = df.agg(min(t), max(t)).head()
+      if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
+    }
+    val chunkW = math.max(1L, (hi - lo) / math.max(1, numChunks) + 1)
+    val chunked = df.withColumn("_chunk", floor((t - lo) / chunkW).cast("long"))
+    val offsets = chunked
+      .groupBy(col(tenantCol), col("_chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          Window.partitionBy(col(tenantCol)).orderBy(col("_chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_n")
+    val localW = Window.partitionBy(col(tenantCol), col("_chunk")).orderBy(t, col(seqCol))
+    chunked
+      .join(broadcast(offsets), Seq(tenantCol, "_chunk"))
+      .withColumn("_rn", col("_offset") + row_number().over(localW))
       .withColumn("batch_id", ((col("_rn") - 1) / maxEvents).cast("long"))
-      .drop("_rn")
+      .drop("_rn", "_offset", "_chunk")
   }
 
   /** Batch summary: one row per (tenant, batch) with size and ts span — the

@@ -1,31 +1,49 @@
 package graft.tiers
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join (SURVEY.md §2.4): for every left row, attach the latest right
   * row with rightTs <= leftTs within the same key — the temporal lookup the
   * north rule requires for gap-fill and enrichment. Spark has no native as-of
-  * join; this composes built-ins via the union + ordered-window LOCF pattern:
+  * join; this composes built-ins via the union + ordered-window LOCF pattern.
   *
-  *   union(left tagged probe, right tagged build)
-  *     → window per key ordered by (ts, side) → last(build cols, ignoreNulls)
-  *     → keep probe rows
+  * Scale design (round-2 rewrite): a window partitioned by the key alone
+  * bounds parallelism by key cardinality — with 5 hot keys, one task sorts
+  * 20% of the table (the round-1 scale-killer). Instead, time is split into
+  * chunks and the LOCF window partitions by (key, chunk):
   *
-  * One shuffle (the window partitioning), no join explosion, no range-join
-  * quadratic blowup — the standard scalable formulation. Backward-looking
-  * (<=); strictness is handled by ordering build rows before probe rows at
-  * equal ts.
+  *   1. per (key, chunk): the build side's last row (tiny boundary frame,
+  *      one row per key×chunk — aggregated map-side, not sorted)
+  *   2. carry-in per (key, chunk) = LOCF of those boundary rows over the
+  *      chunk sequence (window over the tiny frame only)
+  *   3. carry-in rows are injected as synthetic build rows at each chunk
+  *      start, then the usual union → per-(key, chunk) window → keep probes
+  *
+  * Parallelism is keys × chunks; each task sorts one chunk of one key. The
+  * full-table shuffles are all hash-partitioned aggregations or the final
+  * bounded window — no single-task global sort survives at any key skew.
+  *
+  * Determinism: two build rows tied on (key, ts) are ordered by `rightSeq`
+  * when given (the (ts, seq) convention used across the tier layer), else by
+  * the value columns themselves — either way last() is deterministic under
+  * any partitioning.
   */
 object AsOfJoin {
 
-  /** @param left     probe side; must contain keyCols + leftTs
-    * @param right    build side; must contain keyCols + rightTs + value cols
-    * @param keyCols  equality keys
-    * @param leftTs   probe event-time column name (long/timestamp, orderable)
-    * @param rightTs  build event-time column name
-    * @param valueCols right columns to carry (renamed as-is onto the output)
+  /** @param left      probe side; must contain keyCols + leftTs
+    * @param right     build side; must contain keyCols + rightTs + value cols
+    * @param keyCols   equality keys
+    * @param leftTs    probe event-time column name (long/timestamp, orderable)
+    * @param rightTs   build event-time column name
+    * @param valueCols right columns to carry onto the output; must not
+    *                  collide with existing left column names (rejected —
+    *                  silently nulling probe data was a round-1 defect)
+    * @param numChunks target time-chunk count (the key×chunk parallelism
+    *                  knob); chunk width is derived from the observed ts span
+    * @param rightSeq  optional build-side unique tiebreak column for rows
+    *                  tied on (key, ts)
     */
   def asof(
       left: DataFrame,
@@ -33,36 +51,86 @@ object AsOfJoin {
       keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      numChunks: Int = 64,
+      rightSeq: Option[String] = None): DataFrame = {
+    val collisions = valueCols.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"valueCols ${collisions.mkString(",")} collide with probe-side columns — rename one side")
+    require(numChunks >= 1, "numChunks must be >= 1")
+
+    val leftCarry = left.columns.filterNot(keyCols.contains).toSeq
+    val tieCol = rightSeq.map(col).getOrElse(struct(valueCols.map(col): _*))
+
+    // order-preserving long form of an event time (µs for timestamps;
+    // TIMESTAMP_NTZ has no direct long cast)
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def toLong(df: DataFrame, tsName: String): Column = df.schema(tsName).dataType match {
+      case TimestampNTZType => unix_micros(col(tsName).cast("timestamp"))
+      case TimestampType => unix_micros(col(tsName))
+      case _ => col(tsName).cast("long")
+    }
+
+    // _side: carry-in -1 < build 0 < probe 1, so at equal ts a probe sees the
+    // build row (<= semantics) and a real build row beats an injected carry
     val probe = left
-      .withColumn("_t", col(leftTs).cast("long"))
-      .withColumn("_side", lit(1)) // probe sorts after build at equal ts (<= semantics)
+      .withColumn("_t", toLong(left, leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast(right.select(tieCol).schema.head.dataType))
       .withColumns(valueCols.map(v => v -> lit(null).cast(right.schema(v).dataType)).toMap)
+      .select((keyCols.map(col) :+ col("_t") :+ col("_side") :+ col("_tie")) ++
+        valueCols.map(col) ++ leftCarry.map(c => col(c).as(s"_l_$c")): _*)
     val build = right
-      .withColumn("_t", col(rightTs).cast("long"))
+      .withColumn("_t", toLong(right, rightTs))
       .withColumn("_side", lit(0))
-    val buildProjected = build.select(
-      (keyCols.map(col) :+ col("_t") :+ col("_side")) ++ valueCols.map(col): _*)
-    val probeProjected = probe.select(
-      (keyCols.map(col) :+ col("_t") :+ col("_side")) ++ valueCols.map(col) ++
-        left.columns.filterNot(c => keyCols.contains(c)).map(c => col(c).as(s"_l_$c")): _*)
+      .withColumn("_tie", tieCol)
+      .select((keyCols.map(col) :+ col("_t") :+ col("_side") :+ col("_tie")) ++
+        valueCols.map(col): _*)
+      .withColumns(leftCarry.map(c => s"_l_$c" ->
+        lit(null).cast(left.schema(c).dataType)).toMap)
 
-    val unioned = probeProjected.unionByName(
-      buildProjected.withColumns(
-        left.columns.filterNot(keyCols.contains).map(c => s"_l_$c" ->
-          lit(null).cast(left.schema(c).dataType)).toMap))
+    val unioned = probe.unionByName(build)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+    // chunk width from the observed span: one tiny reduce (map-side partial
+    // agg to a single row) — the analog of AQE collecting stats pre-plan
+    val Array(lo, hi) = {
+      val r = unioned.agg(min(col("_t")), max(col("_t"))).head()
+      if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
+    }
+    val chunkW = math.max(1L, (hi - lo) / numChunks + 1)
+    val chunked = unioned.withColumn("_chunk", floor((col("_t") - lo) / chunkW).cast("long"))
+
+    // boundary: per (key, chunk) the build side's last (values, tie) — then
+    // carry-in for chunk c = the latest boundary from any chunk < c. Both
+    // steps run on a keys×chunks-sized frame, never on the data.
+    val valStruct = struct(valueCols.map(col): _*)
+    val perChunkLast = chunked
+      .filter(col("_side") === 0)
+      .groupBy((keyCols.map(col) :+ col("_chunk")): _*)
+      .agg(max_by(valStruct, struct(col("_t"), col("_tie"))).as("_last"))
+    val allChunks = chunked.select((keyCols.map(col) :+ col("_chunk")): _*).distinct()
+    val carryW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allChunks
+      .join(perChunkLast, keyCols :+ "_chunk", "left")
+      .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(carryW))
+      .filter(col("_carry").isNotNull)
+      .select((keyCols.map(col) :+ col("_chunk") :+
+        (lit(lo) + col("_chunk") * chunkW).as("_t") :+ lit(-1).as("_side") :+
+        lit(null).cast(right.select(tieCol).schema.head.dataType).as("_tie")) ++
+        valueCols.map(v => col(s"_carry.$v").as(v)) ++
+        leftCarry.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
+
+    val w = Window.partitionBy((keyCols.map(col) :+ col("_chunk")): _*)
+      .orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val filled = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(when(col("_side") === 0, col(v)), ignoreNulls = true).over(w))
+    val filled = valueCols.foldLeft(chunked.unionByName(carries)) { (df, v) =>
+      df.withColumn(v, last(when(col("_side") <= 0, col(v)), ignoreNulls = true).over(w))
     }
     filled
       .filter(col("_side") === 1)
       .select(keyCols.map(col) ++
-        left.columns.filterNot(keyCols.contains).map(c => col(s"_l_$c").as(c)) ++
+        leftCarry.map(c => col(s"_l_$c").as(c)) ++
         valueCols.map(col): _*)
   }
 }

@@ -34,6 +34,22 @@ class ExporterSpec extends AnyFunSuite {
     spans.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo); case _ => }
   }
 
+  test("two-level batch ids equal the single-window formulation at any chunking") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(i => (s"t${i % 3}", rnd.nextInt(100).toLong, i.toLong))
+    val df = rows.toDF("tenant", "ts", "seq")
+    // naive single-window oracle
+    val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._2, r._3)).zipWithIndex.map { case (r, i) => r._3 -> (i / 7).toLong }
+    }
+    for (chunks <- Seq(1, 5, 64)) {
+      val got = Exporter.assignBatches(df, "tenant", "ts", "seq", maxEvents = 7,
+        numChunks = chunks)
+        .select("seq", "batch_id").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"numChunks=$chunks")
+    }
+  }
+
   test("canonical labels: key-sorted regardless of map insertion order") {
     val df = Seq(1).toDF("x").select(
       Exporter.canonicalLabels(map(lit("z"), lit("1"), lit("a"), lit("2"))).as("c"))

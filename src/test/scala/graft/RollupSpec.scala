@@ -124,6 +124,23 @@ class RollupSpec extends AnyFunSuite {
     assert(filled.map(_.getDouble(2)).sameElements(Array(5.0, 5.0, 5.0, 7.0)))
   }
 
+  test("gap-fill spine size is proportional to per-series span, not global range") {
+    import spark.implicits._
+    // sparse series: "early" lives in buckets [0, 120], "late" in [86400, 86460]
+    // — a global-bounds spine would be 2 × 1441 rows; per-series is 3 + 2
+    val rows = Seq(("early", 0L, 1L, 1.0), ("early", 120L, 2L, 2.0),
+      ("late", 86400L, 3L, 3.0), ("late", 86460L, 4L, 4.0))
+    val tier = TierRollup.fromObs(rows.toDF("series", "ts", "seq", "value"), 60L)
+    val perSeries = TierRollup.gapFill(tier, 60L)
+    assert(perSeries.count() == 5)
+    val global = TierRollup.gapFill(tier, 60L, globalBounds = true)
+    assert(global.count() == 2 * 1442L)
+    // LOCF still correct on the per-series path
+    val early = perSeries.filter(col("series") === "early").orderBy("bucket")
+      .select("bucket", "last_v_filled").as[(Long, Double)].collect().toSeq
+    assert(early == Seq((0L, 1.0), (60L, 1.0), (120L, 2.0)))
+  }
+
   test("fixture gaps are filled: gapped fixture yields complete spine") {
     val obs = TokenFixture.deriveObs(
       TokenFixture.tokenTable(spark, 3000, withGaps = true, withTokens = false))

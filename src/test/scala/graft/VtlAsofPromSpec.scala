@@ -99,6 +99,50 @@ class VtlAsofPromSpec extends AnyFunSuite {
     assert(got == Map("e1" -> Some(1.0), "e2" -> Some(2.0), "e3" -> Some(3.0), "e4" -> None))
   }
 
+  test("as-of join rejects probe/value column collisions") {
+    val left = Seq(("k", 5L, 1.0)).toDF("key", "ts", "v")
+    val right = Seq(("k", 4L, 2.0)).toDF("key", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, Seq("key"), "ts", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("as-of join: build rows tied on ts resolve deterministically by seq") {
+    val left = Seq(("k", 10L)).toDF("key", "ts")
+    // two build rows at ts=10; seq convention says the larger seq wins
+    val right = Seq(("k", 10L, 1L, 111.0), ("k", 10L, 2L, 222.0))
+      .toDF("key", "ts", "seq", "v")
+    for (_ <- 1 to 3) {
+      val got = AsOfJoin.asof(left, right.repartition(7), Seq("key"), "ts", "ts",
+        Seq("v"), rightSeq = Some("seq")).select("v").as[Double].head()
+      assert(got == 222.0)
+    }
+  }
+
+  test("as-of join chunked path matches brute force across chunk boundaries") {
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b", "c")
+    val probe = (1 to 400).map(i => (keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong, i.toLong))
+    val build = (1 to 120).map(i => (keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong,
+      i.toLong, rnd.nextDouble()))
+    val pdf = probe.toDF("key", "ts", "pid")
+    val bdf = build.toDF("key", "ts", "seq", "v")
+    // brute-force oracle: latest build (ts', seq) with ts' <= ts per key
+    val expected = probe.map { case (k, t, pid) =>
+      val cands = build.filter(b => b._1 == k && b._2 <= t)
+      pid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(b => (b._2, b._3))._4))
+    }.toMap
+    for (chunks <- Seq(1, 7, 50)) {
+      val got = AsOfJoin.asof(pdf, bdf, Seq("key"), "ts", "ts", Seq("v"),
+        numChunks = chunks, rightSeq = Some("seq"))
+        .select("pid", "v").as[(Long, Option[Double])].collect().toMap
+      assert(got.size == 400 && probe.forall { case (_, _, pid) => got(pid) == expected(pid) },
+        s"numChunks=$chunks")
+    }
+  }
+
   test("prometheus text parse: samples, labels, specials, comments") {
     val lines = Seq(
       "# HELP http_requests_total comment",
