@@ -75,7 +75,8 @@ object SparkEntry {
     "q36_remote_write_batches" -> (MoreQueries.remoteWriteBatches _),
     "q37_exporter_render" -> (MoreQueries.exporterRender _),
     // —— batch 4 (round 2): tag-map metric model ——
-    "q38_relabel_tags" -> (TagQueries.relabelTags _)
+    "q38_relabel_tags" -> (TagQueries.relabelTags _),
+    "q39_metricalize_paths" -> (TagQueries.metricalizePaths _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -278,6 +279,7 @@ object SparkEntry {
         |s AS (SELECT event_type, batch_id, count(*) AS n FROM b GROUP BY 1,2)
         |SELECT event_type, count(*) AS n_batches, max(n) AS max_batch, min(n) AS min_batch
         |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin,
-    "q38_relabel_tags" -> TagQueries.relabelTagsOracle
+    "q38_relabel_tags" -> TagQueries.relabelTagsOracle,
+    "q39_metricalize_paths" -> TagQueries.metricalizePathsOracle
   )
 }

@@ -51,4 +51,86 @@ object TagQueries {
       |  (('0x' || substring(md5(user_id::VARCHAR), 17, 16))::UBIGINT % 7)::VARCHAR AS series,
       |  count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY series""".stripMargin
+
+  /** q39: path-driven metricalize over the events props JSON with all three
+    * kinds plus a deliberately conflicting series — "k_conflict" is written
+    * as a counter AND a gauge by consecutive specs, so every event flips the
+    * kind: the reference resets state and counts a failure on each flip
+    * (metricalize.rs:233-248); here the surviving aggregate is the trailing
+    * same-kind run and `mismatches` counts the flips.
+    */
+  def metricalizePaths(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Metricalize._
+    val e = EventQueries.events(s, dir)
+    val specs = Seq(
+      MetricSpec("k_total", "counter", "$.k",
+        tagPaths = Map("type" -> "col:event_type")),
+      MetricSpec("k_conflict", "counter", "$.k",
+        tagPaths = Map("type" -> "col:event_type")),
+      MetricSpec("k_conflict", "gauge", "$.k",
+        tagPaths = Map("type" -> "col:event_type")),
+      MetricSpec("k_hist", "histogram", "$.k",
+        tagPaths = Map("type" -> "col:event_type"), buckets = Seq(25.0, 50.0, 75.0, 100.0)),
+      MetricSpec("k_events", "counter", "$.k", incrementByValue = false,
+        tagPaths = Map("type" -> "col:event_type")))
+    metricalize(e, "props", specs, col("event_id"))
+      .select(col("name"), graft.functions.TagOps.canonicalTags(col("tags")).as("series"),
+        col("kind"), round(col("m_sum"), 4).as("m_sum"), col("m_count"),
+        concat_ws(",", col("m_buckets")).as("m_buckets"), col("mismatches"))
+      .orderBy(col("name"), col("series"))
+  }
+
+  /** q39 oracle: replay the same spec fanout + kind-reset semantics with
+    * DuckDB window functions over json_extract'd values.
+    */
+  val metricalizePathsOracle: String =
+    """WITH ev AS (SELECT event_type, event_id,
+      |              json_extract(props, '$.k')::DOUBLE AS v FROM events),
+      |rows AS (
+      |  SELECT 'k_total' AS name, event_type, 'counter' AS kind, v,
+      |         event_id * 5 + 0 AS ord FROM ev WHERE v IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'k_conflict', event_type, 'counter', v, event_id * 5 + 1 FROM ev
+      |  WHERE v IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'k_conflict', event_type, 'gauge', v, event_id * 5 + 2 FROM ev
+      |  WHERE v IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'k_hist', event_type, 'histogram', v, event_id * 5 + 3 FROM ev
+      |  WHERE v IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'k_events', event_type, 'counter', 1.0, event_id * 5 + 4 FROM ev
+      |  WHERE v IS NOT NULL),
+      |st AS (
+      |  SELECT *,
+      |    arg_max(kind, ord) OVER w AS last_kind,
+      |    lag(kind) OVER (PARTITION BY name, event_type ORDER BY ord) AS prev_kind
+      |  FROM rows WINDOW w AS (PARTITION BY name, event_type)),
+      |st2 AS (
+      |  SELECT *,
+      |    max(CASE WHEN kind != last_kind THEN ord END) OVER
+      |      (PARTITION BY name, event_type) AS boundary
+      |  FROM st),
+      |agg AS (
+      |  SELECT name, 'type=' || event_type AS series,
+      |    arg_max(kind, ord) AS kind,
+      |    sum(CASE WHEN prev_kind IS NOT NULL AND kind != prev_kind
+      |        THEN 1 ELSE 0 END)::BIGINT AS mismatches,
+      |    sum(CASE WHEN boundary IS NULL OR ord > boundary THEN v END) AS s_sum,
+      |    count(CASE WHEN boundary IS NULL OR ord > boundary THEN 1 END) AS m_count,
+      |    arg_max(CASE WHEN boundary IS NULL OR ord > boundary THEN v END,
+      |            CASE WHEN boundary IS NULL OR ord > boundary THEN ord END) AS s_last,
+      |    sum(CASE WHEN (boundary IS NULL OR ord > boundary) AND v <= 25 THEN 1 ELSE 0 END)::BIGINT AS b1,
+      |    sum(CASE WHEN (boundary IS NULL OR ord > boundary) AND v <= 50 THEN 1 ELSE 0 END)::BIGINT AS b2,
+      |    sum(CASE WHEN (boundary IS NULL OR ord > boundary) AND v <= 75 THEN 1 ELSE 0 END)::BIGINT AS b3,
+      |    sum(CASE WHEN (boundary IS NULL OR ord > boundary) AND v <= 100 THEN 1 ELSE 0 END)::BIGINT AS b4
+      |  FROM st2 GROUP BY 1, 2)
+      |SELECT name, series, kind,
+      |  round(CASE WHEN kind = 'gauge' THEN s_last ELSE s_sum END, 4) AS m_sum,
+      |  m_count,
+      |  CASE WHEN kind = 'histogram'
+      |       THEN b1::VARCHAR || ',' || b2 || ',' || b3 || ',' || b4
+      |       ELSE '' END AS m_buckets,
+      |  mismatches
+      |FROM agg ORDER BY name, series""".stripMargin
 }
