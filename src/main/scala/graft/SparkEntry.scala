@@ -76,7 +76,8 @@ object SparkEntry {
     "q37_exporter_render" -> (MoreQueries.exporterRender _),
     // —— batch 4 (round 2): tag-map metric model ——
     "q38_relabel_tags" -> (TagQueries.relabelTags _),
-    "q39_metricalize_paths" -> (TagQueries.metricalizePaths _)
+    "q39_metricalize_paths" -> (TagQueries.metricalizePaths _),
+    "q40_remote_write_encode" -> (TagQueries.remoteWriteEncode _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -280,6 +281,7 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_batches, max(n) AS max_batch, min(n) AS min_batch
         |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q38_relabel_tags" -> TagQueries.relabelTagsOracle,
-    "q39_metricalize_paths" -> TagQueries.metricalizePathsOracle
+    "q39_metricalize_paths" -> TagQueries.metricalizePathsOracle,
+    "q40_remote_write_encode" -> TagQueries.remoteWriteEncodeOracle
   )
 }

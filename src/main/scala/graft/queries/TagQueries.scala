@@ -133,4 +133,46 @@ object TagQueries {
       |       ELSE '' END AS m_buckets,
       |  mismatches
       |FROM agg ORDER BY name, series""".stripMargin
+
+  /** q40: remote-write wire encode — one snappy'd protobuf WriteRequest per
+    * ≤1000-sample batch per tenant, with the series/sample census re-derived
+    * by DECODING the emitted bytes in-query (decode_ok proves the roundtrip;
+    * the counts have a DuckDB oracle).
+    */
+  def remoteWriteEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RemoteWrite
+    val e = EventQueries.events(s, dir)
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val samples = e.select(
+      col("event_type").as("tenant"),
+      tsUs.as("ts"),
+      col("event_id").as("seq"),
+      lit("graft_value").as("name"),
+      map(lit("type"), col("event_type"),
+        lit("user"), col("user_id").cast("string")).as("tags"),
+      col("value"),
+      (tsUs / 1000).cast("long").as("ts_ms"),
+      lit("gauge").as("kind"))
+    RemoteWrite.encodeBatches(samples, maxEvents = 1000)
+      .withColumn("c", RemoteWrite.decodedCensus(col("request")))
+      .select(col("tenant"), col("batch_id"),
+        col("n_series").cast("long").as("n_series"),
+        col("n_samples").cast("long").as("n_samples"),
+        (col("c._1") === col("n_series") && col("c._2") === col("n_samples"))
+          .as("decode_ok"))
+      .orderBy(col("tenant"), col("batch_id"))
+  }
+
+  /** q40 oracle: batch packing census (series = distinct user within the
+    * batch; type and __name__ are constant per tenant); decode_ok must be
+    * uniformly true on the Spark side.
+    */
+  val remoteWriteEncodeOracle: String =
+    """WITH b AS (SELECT event_type AS tenant, user_id,
+      |  ((row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)) - 1) // 1000
+      |    AS batch_id
+      |  FROM events)
+      |SELECT tenant, batch_id, count(DISTINCT user_id) AS n_series,
+      |  count(*) AS n_samples, true AS decode_ok
+      |FROM b GROUP BY 1, 2 ORDER BY tenant, batch_id""".stripMargin
 }
