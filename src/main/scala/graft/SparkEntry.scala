@@ -77,7 +77,10 @@ object SparkEntry {
     // —— batch 4 (round 2): tag-map metric model ——
     "q38_relabel_tags" -> (TagQueries.relabelTags _),
     "q39_metricalize_paths" -> (TagQueries.metricalizePaths _),
-    "q40_remote_write_encode" -> (TagQueries.remoteWriteEncode _)
+    "q40_remote_write_encode" -> (TagQueries.remoteWriteEncode _),
+    "q41_cardinality_sketch" -> (MoreQueries.cardinalitySketch _),
+    "q42_quantiles_sketch" -> (MoreQueries.summaryQuantilesSketch _),
+    "q43_exporter_expo" -> (TagQueries.exporterExpo _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -282,6 +285,18 @@ object SparkEntry {
         |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q38_relabel_tags" -> TagQueries.relabelTagsOracle,
     "q39_metricalize_paths" -> TagQueries.metricalizePathsOracle,
-    "q40_remote_write_encode" -> TagQueries.remoteWriteEncodeOracle
+    "q40_remote_write_encode" -> TagQueries.remoteWriteEncodeOracle,
+    "q41_cardinality_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+        | count(*) AS cnt, true AS sketch_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q42_quantiles_sketch" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | count(*) AS cnt, true AS sketch_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q43_exporter_expo" -> TagQueries.exporterExpoOracle
   )
 }

@@ -95,4 +95,83 @@ object Exporter {
       .orderBy(col("name"), col("labels"))
       .select(concat(col("name"), lit("{"), col("labels"), lit("} "),
         col("value").cast("string")).as("line"))
+
+  private def fmtUpper(u: Double): String =
+    if (u.isPosInfinity) "+Inf" else u.toString
+
+  /** Full exposition body
+    * (/root/reference/src/sinks/prometheus_exporter.rs:322-417): one
+    * `# HELP` + `# TYPE` header per metric family, then its series in
+    * canonical label order; histograms expand to `_bucket{le=..}` lines (the
+    * `le` label appended AFTER the sorted tags, like write_sample's
+    * `additional` label) plus `_sum`/`_count`. Expired entries — rows whose
+    * `expiresAtCol` is behind `now` — are skipped but still hold the header
+    * slot if live siblings exist, exactly like the reference's per-entry
+    * `expired_at < now` check inside the name loop.
+    *
+    * Input rows use the unified metric shape (Metricalize output):
+    * (name, tags, kind, m_sum, m_count, m_buckets); `ladder` gives the
+    * histogram uppers for m_buckets. Output: one `line` column, body order.
+    *
+    * Scale shape: line generation is a codegen'd array projection + explode;
+    * the only ordering is the final body sort (a real exporter shards the
+    * body by name range; at query scale one global sort is the contract).
+    */
+  def renderExposition(
+      df: DataFrame,
+      ladder: Seq[Double] = Nil,
+      descriptions: Map[String, String] = Map.empty,
+      expiresAtCol: Option[String] = None,
+      now: Option[Column] = None): DataFrame = {
+    val live = (expiresAtCol, now) match {
+      case (Some(e), Some(n)) => df.filter(col(e) >= n)
+      case _ => df
+    }
+    val labels = canonicalLabels(col("tags"))
+    def sample(suffix: String, extra: Option[String], v: Column): Column = {
+      val nm = concat(col("name"), lit(suffix))
+      val lbl = extra match {
+        case Some(x) => when(labels === "", lit(x)).otherwise(concat(labels, lit(","), lit(x)))
+        case None => labels
+      }
+      when(lbl === "", concat(nm, lit(" "), v.cast("string")))
+        .otherwise(concat(nm, lit("{"), lbl, lit("} "), v.cast("string")))
+    }
+    val bucketLines = ladder.zipWithIndex.map { case (u, i) =>
+      struct(lit(i).as("sub"),
+        sample("_bucket", Some(s"""le="${fmtUpper(u)}""""), col("m_buckets")(i)).as("text"))
+    }
+    val lines =
+      when(col("kind") === "histogram",
+        array(bucketLines ++ Seq(
+          struct(lit(ladder.size).as("sub"), sample("_sum", None, col("m_sum")).as("text")),
+          struct(lit(ladder.size + 1).as("sub"),
+            sample("_count", None, col("m_count")).as("text"))): _*))
+        .otherwise(array(struct(lit(0).as("sub"), sample("", None, col("m_sum")).as("text"))))
+    val body = live
+      .select(col("name"), labels.as("labels"), explode(lines).as("l"))
+      .select(col("name"), col("labels"), col("l.sub").as("sub"), col("l.text").as("text"))
+
+    // headers: families are live iff they still have at least one live row;
+    // kind string per MetricValue (Sum -> "counter", exporter.rs:363-369)
+    val kindStr = when(col("kind") === "counter", "counter").otherwise(col("kind"))
+    val descCol = descriptions.foldLeft(lit(""): Column) { case (acc, (n, d)) =>
+      when(col("name") === n, lit(d)).otherwise(acc)
+    }
+    val headers = live
+      .groupBy(col("name"))
+      .agg(first(kindStr).as("_kind"), first(descCol).as("_desc"))
+      .select(col("name"), lit("").as("labels"),
+        array(
+          struct(lit(-2).as("sub"),
+            concat(lit("# HELP "), col("name"), lit(" "), col("_desc")).as("text")),
+          struct(lit(-1).as("sub"),
+            concat(lit("# TYPE "), col("name"), lit(" "), col("_kind")).as("text"))).as("ls"))
+      .select(col("name"), col("labels"), explode(col("ls")).as("l"))
+      .select(col("name"), col("labels"), col("l.sub").as("sub"), col("l.text").as("text"))
+
+    body.unionByName(headers)
+      .orderBy(col("name"), col("labels"), col("sub"))
+      .select(col("text").as("line"))
+  }
 }

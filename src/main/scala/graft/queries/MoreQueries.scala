@@ -77,6 +77,52 @@ object MoreQueries {
         count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
 
+  /** q41: cardinality limiter, probabilistic mode
+    * (/root/reference/src/transforms/cardinality.rs:127-206: an sbbf Bloom
+    * filter replaces the exact HashSet when the tag universe outgrows
+    * memory). The Spark-native sketch is HLL (approx_count_distinct): the
+    * exact path shuffles every (type, user) pair, the sketch path ships
+    * constant-size registers per group — the shape that survives 10^9 users.
+    * The query asserts the sketch lands within 5% of exact, so the oracle is
+    * the exact count + `true`.
+    */
+  def cardinalitySketch(s: SparkSession, dir: String): DataFrame =
+    EventQueries.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("distinct_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("_approx"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("distinct_users"), col("cnt"),
+        (abs(col("_approx") - col("distinct_users")) <=
+          greatest(col("distinct_users") * 0.05, lit(8.0))).as("sketch_ok"))
+      .orderBy(col("event_type"))
+
+  /** q42: summary quantiles, sketch mode — approx_percentile (GK sketch,
+    * mergeable, bounded memory) beside the exact percentile used by the q26
+    * oracle path. Vertex Summary quantiles are non-mergeable and recomputed
+    * from raw anyway (/root/reference/lib/event/src/metric/mod.rs:62), so an
+    * approximate contract is the defensible 100 TB path: exact `percentile`
+    * buffers every value per group (ObjectHashAggregate), the sketch ships a
+    * fixed-size summary. The query asserts each sketch quantile lands within
+    * 1% of the group's value range; the oracle is exact + `true`.
+    */
+  def summaryQuantilesSketch(s: SparkSession, dir: String): DataFrame =
+    EventQueries.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("_ap"),
+        ((max(col("value")) - min(col("value"))) * 0.01).as("_tol"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"), col("cnt"),
+        (abs(col("_ap")(0) - col("p50")) <= col("_tol") &&
+          abs(col("_ap")(1) - col("p90")) <= col("_tol") &&
+          abs(col("_ap")(2) - col("p99")) <= col("_tol")).as("sketch_ok"))
+      .orderBy(col("event_type"))
+
   /** MinHash LSH near-dup dedup over documents (ScalaTest-verified). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(DocQueries.documents(s, dir), "doc_id", "text", threshold = 0.5)

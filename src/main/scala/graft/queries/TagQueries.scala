@@ -175,4 +175,38 @@ object TagQueries {
       |SELECT tenant, batch_id, count(DISTINCT user_id) AS n_series,
       |  count(*) AS n_samples, true AS decode_ok
       |FROM b GROUP BY 1, 2 ORDER BY tenant, batch_id""".stripMargin
+
+  /** q43: full exposition body — # HELP/# TYPE headers + gauge sample lines
+    * for the latest value per (type, user) series, string-compared line by
+    * line against a DuckDB render of the same body. Values are floored so
+    * both engines print the identical "N.0" form (double shortest-repr
+    * algorithms may differ on arbitrary fractions).
+    */
+  def exporterExpo(s: SparkSession, dir: String): DataFrame = {
+    val latest = EventQueries.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+      .select(
+        concat(lit("graft_"), col("event_type")).as("name"),
+        map(lit("user"), col("user_id").cast("string")).as("tags"),
+        lit("gauge").as("kind"),
+        floor(col("v")).cast("double").as("m_sum"),
+        lit(1L).as("m_count"),
+        array().cast("array<bigint>").as("m_buckets"))
+    graft.functions.Exporter.renderExposition(latest)
+  }
+
+  val exporterExpoOracle: String =
+    """WITH latest AS (SELECT event_type, user_id, arg_max(value, ts) AS v
+      |                FROM events GROUP BY 1, 2),
+      |names AS (SELECT DISTINCT event_type FROM events),
+      |lines AS (
+      |  SELECT 'graft_' || event_type || '{user="' || user_id || '"} ' ||
+      |         floor(v)::DOUBLE::VARCHAR AS line
+      |  FROM latest
+      |  UNION ALL
+      |  SELECT '# HELP graft_' || event_type || ' ' FROM names
+      |  UNION ALL
+      |  SELECT '# TYPE graft_' || event_type || ' gauge' FROM names)
+      |SELECT line FROM lines ORDER BY line""".stripMargin
 }

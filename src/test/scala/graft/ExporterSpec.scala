@@ -56,6 +56,48 @@ class ExporterSpec extends AnyFunSuite {
     assert(df.as[String].head() == "a=\"2\",z=\"1\"")
   }
 
+  test("renderExposition: golden body with headers, histogram expansion, ordering") {
+    val rows = Seq(
+      ("app_up", Map.empty[String, String], "gauge", 1.0, 1L, Seq.empty[Long]),
+      ("app_reqs", Map("svc" -> "b"), "counter", 20.0, 2L, Seq.empty[Long]),
+      ("app_reqs", Map("svc" -> "a"), "counter", 10.0, 1L, Seq.empty[Long]),
+      ("app_latency", Map("svc" -> "a"), "histogram", 1.7, 7L, Seq(3L, 7L)))
+      .toDF("name", "tags", "kind", "m_sum", "m_count", "m_buckets")
+    val body = Exporter.renderExposition(rows,
+      ladder = Seq(0.1, Double.PositiveInfinity),
+      descriptions = Map("app_latency" -> "request latency", "app_up" -> "is up"))
+      .as[String].collect().toSeq
+    assert(body == Seq(
+      "# HELP app_latency request latency",
+      "# TYPE app_latency histogram",
+      """app_latency_bucket{svc="a",le="0.1"} 3""",
+      """app_latency_bucket{svc="a",le="+Inf"} 7""",
+      """app_latency_sum{svc="a"} 1.7""",
+      """app_latency_count{svc="a"} 7""",
+      "# HELP app_reqs ",
+      "# TYPE app_reqs counter",
+      """app_reqs{svc="a"} 10.0""",
+      """app_reqs{svc="b"} 20.0""",
+      "# HELP app_up is up",
+      "# TYPE app_up gauge",
+      "app_up 1.0"), body.mkString("\n"))
+  }
+
+  test("renderExposition: expired entries are skipped; fully-expired family loses its header") {
+    val rows = Seq(
+      ("live", Map("k" -> "1"), "gauge", 1.0, 1L, Seq.empty[Long], 100L),
+      ("live", Map("k" -> "2"), "gauge", 2.0, 1L, Seq.empty[Long], 10L), // expired
+      ("dead", Map("k" -> "3"), "gauge", 3.0, 1L, Seq.empty[Long], 10L)) // expired
+      .toDF("name", "tags", "kind", "m_sum", "m_count", "m_buckets", "expires_at")
+    val body = Exporter.renderExposition(rows,
+      expiresAtCol = Some("expires_at"), now = Some(lit(50L)))
+      .as[String].collect().toSeq
+    assert(body == Seq(
+      "# HELP live ",
+      "# TYPE live gauge",
+      """live{k="1"} 1.0"""))
+  }
+
   test("renderText: lines ordered by (name, canonical labels), exposition shape") {
     val rows = Seq(
       ("metric_b", Map("h" -> "1"), 2.0),
