@@ -30,6 +30,23 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
 
   def dataPath: String = dataDir
 
+  /** Driver-side parallel map over partition-granular FS work (rename /
+    * footer read / manifest write). The round-1 serial loop was fine at 10²
+    * partitions and a commit-latency wall at 10⁵ — commit cost must stay
+    * O(partitions / threads). Hadoop FileSystem instances are cached and
+    * thread-safe for local/HDFS/S3A.
+    */
+  private def parMap[A, B](items: Seq[A], parallelism: Int = 32)(f: A => B): Seq[B] =
+    if (items.lengthCompare(2) < 0) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = f(a)
+      })).map(_.get())
+      finally pool.shutdown()
+    }
+
   /** Partition values with a committed manifest. */
   def committedPartitions(): Set[String] = {
     val dir = new Path(manifestDir)
@@ -63,19 +80,22 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     val todo = stagedDirs.map(_.getName.stripPrefix(s"$partCol=")).sorted
     if (todo.isEmpty) { fs.delete(new Path(staging), true); return Nil }
 
-    // promote: wipe torn target dirs, rename staged dirs into place
-    stagedDirs.foreach { d =>
+    // promote: wipe torn target dirs, rename staged dirs into place —
+    // parallel across partitions (renames are copies on object stores; a
+    // serial loop over 10⁵ of them is a commit wall)
+    fs.mkdirs(new Path(dataDir))
+    parMap(stagedDirs) { d =>
       val dst = new Path(s"$dataDir/${d.getName}")
       if (fs.exists(dst)) fs.delete(dst, true)
-      fs.mkdirs(new Path(dataDir))
       if (!fs.rename(d, dst)) throw new IllegalStateException(s"promote failed: $d -> $dst")
     }
     fs.delete(new Path(staging), true)
 
     // per-partition row counts straight from parquet footers on the driver —
     // a Spark job here would add a whole scheduling round-trip per append
-    // (measured ~1s each; 7 appends per cascade made it the scaling floor)
-    val counts: Map[String, Long] = todo.map { p =>
+    // (measured ~1s each; 7 appends per cascade made it the scaling floor);
+    // footer reads are I/O-bound and run on the parallel pool
+    val counts: Map[String, Long] = parMap(todo) { p =>
       val d = new Path(s"$dataDir/$partCol=$p")
       val rows = fs.listStatus(d).iterator
         .filter(_.getPath.getName.endsWith(".parquet"))
@@ -88,7 +108,7 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
       p -> rows
     }.toMap
 
-    todo.foreach { p =>
+    parMap(todo) { p =>
       val files = {
         val d = new Path(s"$dataDir/$partCol=$p")
         if (fs.exists(d))
@@ -116,14 +136,20 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     if (!fs.rename(tmp, dst)) throw new IllegalStateException(s"manifest commit failed: $dst")
   }
 
-  /** Read only committed partitions (uncommitted/torn data is invisible).
-    * The isin predicate on the partition column prunes at planning time —
-    * uncommitted directories are never scanned.
+  /** Read only committed partitions (uncommitted/torn data is invisible) by
+    * enumerating their directory paths directly — planning cost is
+    * O(committed dirs listed), with no giant In-predicate for the optimizer
+    * to carry (a 10⁵-element isin was the round-1 planner cost) and no
+    * listing of uncommitted siblings at all. basePath keeps the partition
+    * column in the schema.
     */
   def read(): DataFrame = {
-    val committed = committedPartitions()
-    spark.read.option("basePath", dataDir).parquet(dataDir)
-      .filter(col(partCol).cast("string").isin(committed.toSeq: _*))
+    val committed = committedPartitions().toSeq.sorted
+    if (committed.isEmpty)
+      spark.read.option("basePath", dataDir).parquet(dataDir).filter(lit(false))
+    else
+      spark.read.option("basePath", dataDir)
+        .parquet(committed.map(p => s"$dataDir/$partCol=$p"): _*)
   }
 
   def readRaw(): DataFrame = spark.read.parquet(dataDir)
@@ -133,7 +159,7 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     */
   def expire(expired: String => Boolean): Seq[String] = {
     val dropped = committedPartitions().filter(expired).toSeq.sorted
-    dropped.foreach { p =>
+    parMap(dropped) { p =>
       // manifest first: a partition without a manifest is invisible to read()
       fs.delete(new Path(s"$manifestDir/$p.json"), false)
       val d = new Path(s"$dataDir/$partCol=$p")

@@ -38,6 +38,27 @@ class LakeSpec extends AnyFunSuite {
     assert(again.head.table.read().count() == rows1m)
   }
 
+  test("1000-partition append commits in seconds; resume and read stay exact") {
+    import spark.implicits._
+    val base = tmpDir()
+    val lake = new LakeTable(spark, base, "wide", "pk")
+    val df = spark.range(10000).select(
+      (col("id") % 1000).cast("string").as("pk"), col("id").as("v"))
+    val t0 = System.nanoTime()
+    val committed = lake.append(df, lineage = "wide test")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(committed.size == 1000)
+    assert(secs < 90.0, f"1000-partition commit took $secs%.1f s") // ~seconds, generous VM margin
+    assert(lake.read().count() == 10000)
+    // resume skips everything
+    assert(lake.append(df, lineage = "again").isEmpty)
+    // path-enumeration read sees exactly the committed data
+    assert(lake.read().groupBy("pk").count().filter(col("count") =!= 10).count() == 0)
+    // expire half; the rest stays readable
+    val dropped = lake.expire(p => p.toLong < 500)
+    assert(dropped.size == 500 && lake.read().count() == 5000)
+  }
+
   test("kill-and-rerun: missing manifests are recomputed, committed ones skipped") {
     val base = tmpDir()
     val lake = new LakeTable(spark, base, "tier_1m", "pk")
