@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * driver-side loops.
   *
   * Scale design: signatures are per-row narrow maps; the only shuffle is the
-  * band-bucket groupBy, whose bucket sizes are bounded by `maxBucket` (oversize
-  * buckets are dropped and counted rather than exploded — at 100 TB a single
-  * degenerate bucket must not produce O(n²) pairs).
+  * band-bucket groupBy, whose bucket sizes are bounded by `maxBucket`
+  * (oversize buckets are excluded from pair generation — at 100 TB a single
+  * degenerate bucket must not produce O(n²) pairs). The exclusion is
+  * AUDITED: droppedBuckets exposes the cut buckets and minhashDedup counts
+  * and logs them before proceeding.
   */
 object Dedup {
 
@@ -71,9 +73,53 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("key"))): _*)
 
+  /** LSH band-bucket frame: one row per (band, key) with the sorted member
+    * docs and the bucket size. Shared by the pair generator and the skew
+    * audit so both see the same buckets.
+    */
+  def minhashBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    df.select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("_sh"))
+      .select(col("doc"),
+        bandKeys(minhashSignatureFromHashes(col("_sh"), numPerm), bands, rowsPerBand).as("bk"))
+      .select(col("doc"), explode(col("bk")).as("b"))
+      .groupBy(col("b.band"), col("b.key"))
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .withColumn("bucket_size", size(col("docs")))
+  }
+
+  /** Buckets the `maxBucket` skew guard will drop — (band, key, bucket_size).
+    * NO SILENT CAPS: a degenerate bucket (boilerplate shingle shared by 10⁶
+    * docs) holds exactly the dup-densest documents; dropping it must be
+    * visible. Callers either log this frame's stats (minhashDedup does) or
+    * route the oversize buckets to an exact-dedup side channel.
+    */
+  def droppedBuckets(buckets: DataFrame, maxBucket: Int = 64): DataFrame =
+    buckets.filter(col("bucket_size") > maxBucket)
+      .select(col("band"), col("key"), col("bucket_size"))
+
+  /** Candidate near-dup pairs from a bucket frame: for i<j emit
+    * (docs[i], docs[j]) within each bucket of size in [2, maxBucket] —
+    * expression-only, pair explosion bounded per bucket.
+    */
+  def candidatesFromBuckets(buckets: DataFrame, maxBucket: Int = 64): DataFrame =
+    buckets
+      .filter(col("bucket_size").between(2, maxBucket))
+      .select(explode(flatten(transform(col("docs"),
+        (x, i) => transform(slice(col("docs"), i + 2, size(col("docs"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+
   /** Candidate near-dup pairs via MinHash banding over (idCol, textCol).
     * Returns (doc_a, doc_b, n_shared_bands). Buckets larger than `maxBucket`
-    * are dropped (skew guard).
+    * are EXCLUDED from pair generation (skew guard) — use
+    * [[minhashBuckets]] + [[droppedBuckets]] to observe what the guard cut.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -81,25 +127,8 @@ object Dedup {
       textCol: String,
       numPerm: Int = 64,
       bands: Int = 16,
-      maxBucket: Int = 64): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    val sigs = df
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("_sh"))
-      .select(col("doc"),
-        bandKeys(minhashSignatureFromHashes(col("_sh"), numPerm), bands, rowsPerBand).as("bk"))
-    val buckets = sigs
-      .select(col("doc"), explode(col("bk")).as("b"))
-      .groupBy(col("b.band"), col("b.key"))
-      .agg(sort_array(collect_list(col("doc"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    // pairs within a bucket, expression-only: for i<j emit (docs[i], docs[j])
-    buckets
-      .select(explode(flatten(transform(col("docs"),
-        (x, i) => transform(slice(col("docs"), i + 2, size(col("docs"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-  }
+      maxBucket: Int = 64): DataFrame =
+    candidatesFromBuckets(minhashBuckets(df, idCol, textCol, numPerm, bands), maxBucket)
 
   /** Exact n-gram Jaccard for pairs: |A∩B| / |A∪B| over distinct k-shingles. */
   def jaccard(shA: Column, shB: Column): Column =
@@ -109,13 +138,32 @@ object Dedup {
   /** MinHash LSH dedup end-to-end: candidates verified with exact shingle
     * Jaccard >= threshold. Joins back to texts (two broadcast-able joins at
     * small scale; sort-merge on doc id at large scale).
+    *
+    * The skew guard is audited, not silent: the bucket frame is persisted,
+    * oversize buckets are counted in one cheap action, and the census is
+    * logged before pair generation proceeds on the surviving buckets.
     */
   def minhashDedup(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.7): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol)
+      threshold: Double = 0.7,
+      maxBucket: Int = 64,
+      auditDropped: Boolean = true): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol)
+    val cands =
+      if (!auditDropped) candidatesFromBuckets(buckets, maxBucket)
+      else {
+        val cached = buckets.persist()
+        val census = droppedBuckets(cached, maxBucket)
+          .agg(count(lit(1)), coalesce(sum(col("bucket_size")), lit(0L))).head()
+        val (nDropped, docsDropped) = (census.getLong(0), census.getLong(1))
+        if (nDropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"minhash LSH skew guard dropped $nDropped buckets > $maxBucket docs " +
+              s"(${docsDropped} doc slots) — dup-dense buckets excluded from pair generation")
+        candidatesFromBuckets(cached, maxBucket)
+      }
     val sh = df.select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
     cands
       .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -146,21 +194,35 @@ object Dedup {
     voteUdf(hashes)
   }
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit keys
-    * (any shared band ⇒ candidate; catches all pairs with hamming ≤ 3 by
-    * pigeonhole), then verify hamming ≤ maxHamming via bit_count(xor).
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into `bands` keys of
+    * 64/bands bits (any shared band ⇒ candidate), then verify hamming ≤
+    * maxHamming via bit_count(xor).
+    *
+    * RECALL CONTRACT: by pigeonhole, banding is complete only for pairs with
+    * hamming ≤ bands−1 — asking for a larger maxHamming silently returns a
+    * recall subset (the round-1 defect), so it is REJECTED unless the caller
+    * opts into `allowPartialRecall` explicitly. More bands buy more recall at
+    * the cost of wider buckets (64/bands-bit keys collide exponentially more).
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      bands: Int = 4,
+      allowPartialRecall: Boolean = false): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands=$bands must divide 64")
+    require(allowPartialRecall || maxHamming <= bands - 1,
+      s"$bands bands guarantee recall only for hamming <= ${bands - 1} " +
+        s"(asked maxHamming=$maxHamming): raise bands or set allowPartialRecall=true")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sigs = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sim"))
     val banded = sigs.select(col("doc"), col("sim"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
+          shiftright(col("sim"), b * bits).bitwiseAND(mask).as("key"))): _*)).as("b"))
     val buckets = banded
       .groupBy(col("b.band"), col("b.key"))
       .agg(sort_array(collect_set(struct(col("doc"), col("sim")))).as("ds"))

@@ -128,9 +128,13 @@ object MoreQueries {
     Dedup.minhashDedup(DocQueries.documents(s, dir), "doc_id", "text", threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash near-dup pairs over documents (ScalaTest-verified). */
+  /** SimHash near-dup pairs over documents (ScalaTest-verified against a
+    * brute-force oracle). maxHamming=3 with 4 bands is the full-recall
+    * contract (banding catches every pair with hamming ≤ bands−1; the
+    * round-1 maxHamming=16 call silently returned a recall subset).
+    */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(DocQueries.documents(s, dir), "doc_id", "text", maxHamming = 16)
+    Dedup.simhashPairs(DocQueries.documents(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Exact n-gram Jaccard on deterministic consecutive doc pairs (has a

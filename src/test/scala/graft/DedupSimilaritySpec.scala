@@ -70,9 +70,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
     assert(ham(0L, 2L) <= 16, s"near dup hamming ${ham(0L, 2L)}")
     assert(ham(0L, 3L) > 16, s"unrelated hamming ${ham(0L, 3L)}")
-    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 16)
+  }
+
+  test("simhashPairs at maxHamming<=bands-1 has FULL recall vs brute force") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash64($"text").as("sim"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    for (maxHam <- Seq(0, 3)) {
+      val expected = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        if java.lang.Long.bitCount(sa ^ sb) <= maxHam
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = maxHam)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"maxHamming=$maxHam")
+    }
+  }
+
+  test("simhashPairs rejects a maxHamming beyond the banding recall guarantee") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 16)
+    }
+    assert(e.getMessage.contains("recall"))
+    // explicit opt-in to partial recall still runs
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 16,
+      allowPartialRecall = true)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((0L, 1L)))
+    assert(got.contains((0L, 1L)))
+    // and 8 bands widen the guarantee to hamming <= 7
+    val eightBands = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 7, bands = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(eightBands.contains((0L, 1L)))
+  }
+
+  test("LSH skew guard is audited: degenerate bucket is counted, not silent") {
+    // 100 docs sharing one exact text -> every band bucket holds all 100
+    val degenerate = (0L until 100L).map(i => (i, "the same boilerplate header text repeated"))
+      .toDF("doc_id", "text")
+    val buckets = Dedup.minhashBuckets(degenerate, "doc_id", "text")
+    val dropped = Dedup.droppedBuckets(buckets, maxBucket = 64)
+    assert(dropped.count() == 16) // all 16 bands degenerate
+    assert(dropped.select(max($"bucket_size")).as[Int].head() == 100)
+    // pair generation excludes them -> no candidates survive the guard
+    assert(Dedup.candidatesFromBuckets(buckets, maxBucket = 64).count() == 0)
+    // end-to-end: audit path logs and still returns (no pairs here)
+    assert(Dedup.minhashDedup(degenerate, "doc_id", "text").count() == 0)
   }
 
   test("simhash64 matches a single-node Scala oracle (xxhash64 parity via Spark)") {
