@@ -80,7 +80,9 @@ object SparkEntry {
     "q40_remote_write_encode" -> (TagQueries.remoteWriteEncode _),
     "q41_cardinality_sketch" -> (MoreQueries.cardinalitySketch _),
     "q42_quantiles_sketch" -> (MoreQueries.summaryQuantilesSketch _),
-    "q43_exporter_expo" -> (TagQueries.exporterExpo _)
+    "q43_exporter_expo" -> (TagQueries.exporterExpo _),
+    "q44_parse_query_url" -> (TagQueries.parseQueryUrl _),
+    "q45_pushgateway_grouping" -> (TagQueries.pushgatewayGrouping _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -297,6 +299,8 @@ object SparkEntry {
         | round(quantile_cont(value, 0.99), 4) AS p99,
         | count(*) AS cnt, true AS sketch_ok
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-    "q43_exporter_expo" -> TagQueries.exporterExpoOracle
+    "q43_exporter_expo" -> TagQueries.exporterExpoOracle,
+    "q44_parse_query_url" -> TagQueries.parseQueryUrlOracle,
+    "q45_pushgateway_grouping" -> TagQueries.pushgatewayGroupingOracle
   )
 }

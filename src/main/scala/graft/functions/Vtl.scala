@@ -166,4 +166,138 @@ object Vtl {
   def hashMod(c: Column, m: Int): Column =
     pmod(conv(substring(md5(c), 17, 16), 16, 10).cast("decimal(20,0)"),
       lit(m.toLong).cast("decimal(20,0)")).cast("long")
+
+  // ---- parse_query: form-urlencoded → map (function/parse_query.rs) ----
+
+  /** Query string → map<key, array<values>>. The reference returns scalar
+    * values that widen to arrays on duplicate keys; a Spark column needs one
+    * type, so values are uniformly arrays preserving duplicate order. A
+    * leading '?' is tolerated; '+' and %XX decode as form-urlencoded UTF-8;
+    * a key without '=' maps to "".
+    */
+  private val queryUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val q = if (s.startsWith("?")) s.substring(1) else s
+      if (q.isEmpty) Map.empty[String, Seq[String]]
+      else {
+        def dec(x: String): String =
+          try java.net.URLDecoder.decode(x, "UTF-8")
+          catch { case _: IllegalArgumentException => x }
+        q.split("&").iterator.filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          if (i < 0) dec(kv) -> "" else dec(kv.substring(0, i)) -> dec(kv.substring(i + 1))
+        }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      }
+    }
+  }
+  def parseQuery(c: Column): Column = queryUdf(c)
+
+  // ---- parse_url: URL components → map (function/parse_url.rs) ----
+
+  /** URL → map with scheme/username/password/host/port/path/query/fragment
+    * (the reference's component set, parse_url.rs:102-133); absent optional
+    * parts are omitted, invalid URLs → null.
+    */
+  private val urlUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      try {
+        val u = new java.net.URI(s)
+        if (u.getScheme == null) null
+        else {
+          val userInfo = Option(u.getUserInfo).getOrElse("")
+          val (user, pass) = userInfo.indexOf(':') match {
+            case -1 => (userInfo, "")
+            case i => (userInfo.substring(0, i), userInfo.substring(i + 1))
+          }
+          val base = Map(
+            "scheme" -> u.getScheme,
+            "username" -> user,
+            "password" -> pass,
+            "path" -> Option(u.getPath).getOrElse(""))
+          val opt = Seq(
+            Option(u.getHost).map("host" -> _),
+            (if (u.getPort >= 0) Some("port" -> u.getPort.toString) else None),
+            Option(u.getQuery).map("query" -> _),
+            Option(u.getFragment).map("fragment" -> _)).flatten
+          base ++ opt
+        }
+      } catch { case _: java.net.URISyntaxException => null }
+    }
+  }
+  def parseUrl(c: Column): Column = urlUdf(c)
+
+  // ---- parse_regex: named capture groups → map (function/parse_regex.rs) ----
+
+  /** Apply `pattern` and return a map of its NAMED capture groups (group →
+    * matched text; non-participating groups omitted); null when the pattern
+    * doesn't match. Pattern is compiled once per executor, not per row.
+    */
+  def parseRegex(c: Column, pattern: String): Column = {
+    val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
+      .findAllMatchIn(pattern).map(_.group(1)).toSeq
+    val compiled = pattern // captured as string; compiled lazily in the UDF
+    val re = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(compiled).matcher(s)
+        if (!m.find()) null
+        else names.flatMap(n =>
+          Option(try m.group(n) catch { case _: IllegalArgumentException => null })
+            .map(n -> _)).toMap
+      }
+    }
+    re(c)
+  }
+
+  // ---- parse_user_agent (function/parse_user_agent.rs) ----
+
+  /** User-agent → map(browser.family, browser.version, os.family,
+    * device.category) — the reference's woothee field set
+    * (parse_user_agent.rs:60-66). The woothee ruleset isn't available here,
+    * so this is a documented heuristic covering the major engine families;
+    * unknown agents classify as ("unknown", "", "unknown", "unknown") like
+    * woothee's maybe_none does.
+    */
+  private val uaUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val ua = s
+      def ver(token: String): String = {
+        val m = java.util.regex.Pattern.compile(
+          java.util.regex.Pattern.quote(token) + "[/ ]([0-9][0-9.]*)").matcher(ua)
+        if (m.find()) m.group(1) else ""
+      }
+      val bot = ua.toLowerCase.contains("bot") || ua.toLowerCase.contains("crawler") ||
+        ua.toLowerCase.contains("spider")
+      val (bf, bv) =
+        if (bot) ("crawler", "")
+        else if (ua.contains("Edg/") || ua.contains("Edge/")) ("Edge", if (ua.contains("Edg/")) ver("Edg") else ver("Edge"))
+        else if (ua.contains("OPR/")) ("Opera", ver("OPR"))
+        else if (ua.contains("Firefox/")) ("Firefox", ver("Firefox"))
+        else if (ua.contains("Chrome/")) ("Chrome", ver("Chrome"))
+        else if (ua.contains("Safari/") && ua.contains("Version/")) ("Safari", ver("Version"))
+        else if (ua.contains("MSIE ")) ("Internet Explorer", ver("MSIE"))
+        else if (ua.contains("curl/")) ("curl", ver("curl"))
+        else if (ua.contains("Wget/")) ("wget", ver("Wget"))
+        else ("unknown", "")
+      val os =
+        if (bot) "unknown"
+        else if (ua.contains("Android")) "Android"
+        else if (ua.contains("iPhone") || ua.contains("iPad")) "iOS"
+        else if (ua.contains("Windows")) "Windows"
+        else if (ua.contains("Mac OS X")) "Mac OSX"
+        else if (ua.contains("Linux")) "Linux"
+        else "unknown"
+      val device =
+        if (bot) "crawler"
+        else if (os == "Android" || os == "iOS") "smartphone"
+        else if (bf == "unknown") "unknown"
+        else "pc"
+      Map("browser.family" -> bf, "browser.version" -> bv,
+        "os.family" -> os, "device.category" -> device)
+    }
+  }
+  def parseUserAgent(c: Column): Column = uaUdf(c)
 }

@@ -196,6 +196,61 @@ object TagQueries {
     graft.functions.Exporter.renderExposition(latest)
   }
 
+  /** q44: VTL parse_url + parse_query end-to-end — URLs synthesized from
+    * event columns, parsed back, aggregated by the parsed components; the
+    * oracle rebuilds the expected components from the raw columns.
+    */
+  def parseQueryUrl(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vtl
+    val e = EventQueries.events(s, dir)
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val url = concat(lit("https://h"), pmod(col("user_id"), lit(5)),
+      lit(".example.com:8080/ev/"), col("event_type"),
+      lit("?k="), k, lit("&t="), col("event_type"))
+    val u = Vtl.parseUrl(url)
+    val q = Vtl.parseQuery(element_at(u, "query"))
+    e.select(
+      element_at(u, "host").as("host"),
+      element_at(u, "path").as("path"),
+      element_at(u, "port").as("port"),
+      element_at(q, "k")(0).cast("long").as("kq"))
+      .groupBy(col("host"), col("path"))
+      .agg(count(lit(1)).as("cnt"), sum(col("kq")).as("k_sum"),
+        max(col("port")).as("port"))
+      .orderBy(col("host"), col("path"))
+  }
+
+  val parseQueryUrlOracle: String =
+    """SELECT 'h' || (user_id % 5) || '.example.com' AS host,
+      |  '/ev/' || event_type AS path, count(*) AS cnt,
+      |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+      |  '8080' AS port
+      |FROM events GROUP BY 1, 2 ORDER BY host, path""".stripMargin
+
+  /** q45: pushgateway grouping-label enrichment — grouping labels parsed
+    * from synthesized request paths override the pushed samples' own tags
+    * (prometheus_pushgateway.rs:98-179 + the grouping contract), then the
+    * enriched series are counted by canonical identity.
+    */
+  def pushgatewayGrouping(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Scrape
+    val e = EventQueries.events(s, dir)
+    val path = concat(lit("/metrics/job/ingest/type/"), col("event_type"),
+      lit("/shard/"), pmod(col("user_id"), lit(4)))
+    val sampleTags = map(
+      lit("type"), lit("pushed"), // overridden by the grouping label
+      lit("app"), concat(lit("A"), pmod(col("user_id"), lit(2))))
+    e.select(Scrape.applyGroupingLabels(sampleTags, Scrape.groupingLabels(path)).as("tags"))
+      .groupBy(TagOps.canonicalTags(col("tags")).as("series"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("series"))
+  }
+
+  val pushgatewayGroupingOracle: String =
+    """SELECT 'app=A' || (user_id % 2) || ',job=ingest,shard=' || (user_id % 4) ||
+      |  ',type=' || event_type AS series, count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY series""".stripMargin
+
   val exporterExpoOracle: String =
     """WITH latest AS (SELECT event_type, user_id, arg_max(value, ts) AS v
       |                FROM events GROUP BY 1, 2),
