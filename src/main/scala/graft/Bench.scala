@@ -97,6 +97,30 @@ object Bench {
     f.delete()
   }
 
+  /** As-of join scaling datapoint (round-2): probe the FULL obs stream keyed
+    * by `source` — 8 heavily skewed keys, the exact shape where a
+    * key-partitioned window stragglers — against a ~1/997 snapshot build
+    * side. The chunked AsOfJoin must scale 2→8 like the cascade despite key
+    * cardinality 8. Returns (probe rows, wall seconds).
+    */
+  private def asofBench(spark: SparkSession, rawPath: String): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val obs = TokenFixture.deriveObs(spark.read.parquet(rawPath))
+      .select(col("source"), col("ts"), col("seq"), col("value")).persist()
+    val n = obs.count() // untimed cache populate
+    val probe = obs.drop("value")
+    val build = obs.filter(pmod(col("seq"), lit(997L)) === 0)
+      .withColumnRenamed("value", "asof_v")
+    val t0 = System.nanoTime()
+    val joined = graft.tiers.AsOfJoin.asof(probe, build, Seq("source"), "ts", "ts",
+      Seq("asof_v"), numChunks = 64, rightSeq = Some("seq"))
+    val out = joined.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(out == n, s"as-of join must preserve probe rows: $out != $n")
+    obs.unpersist(blocking = false)
+    (n, secs)
+  }
+
   /** Run one parallelism level in THIS JVM: JIT-warmup cascade + untimed
     * page-cache warm scan, then one timed cascade. Invoked in a fresh child
     * JVM per level — sequential
@@ -104,7 +128,7 @@ object Bench {
     * 14→26→45→178 s on identical code as heap/session state accumulated),
     * so each level gets a clean process, like separate spark-submit runs.
     */
-  private def runLevel(cpus: Int, rawPath: String): (Long, Double) = {
+  private def runLevel(cpus: Int, rawPath: String): (Long, Double, Double) = {
     val s = session(cpus)
     try {
       val warmBase = Files.createTempDirectory("graft_warm").toString
@@ -118,17 +142,19 @@ object Bench {
       // (neighbour steal, reclaim); min under additive noise estimates the
       // true cost. Second run skipped if the first blew the time budget.
       val r1 = cascade(s, rawPath)
-      if (r1._2 <= 360.0) {
-        val r2 = cascade(s, rawPath)
-        (r1._1, math.min(r1._2, r2._2))
-      } else r1
+      val cascadeBest =
+        if (r1._2 <= 360.0) math.min(r1._2, cascade(s, rawPath)._2) else r1._2
+      val a1 = asofBench(s, rawPath)
+      val asofBest =
+        if (a1._2 <= 360.0) math.min(a1._2, asofBench(s, rawPath)._2) else a1._2
+      (r1._1, cascadeBest, asofBest)
     } finally s.stop()
   }
 
   /** Spawn a child JVM (same classpath + module opens + heap) running
     * `graft.Bench level <cpus> <rawPath>`; parse its LEVEL_RESULT line.
     */
-  private def runLevelForked(cpus: Int, rawPath: String): (Long, Double) = {
+  private def runLevelForked(cpus: Int, rawPath: String): (Long, Double, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
@@ -145,13 +171,13 @@ object Bench {
       throw new IllegalStateException(s"child level=$cpus produced no result")
     }
     val parts = line.split(" ")
-    (parts(2).toLong, parts(3).toDouble)
+    (parts(2).toLong, parts(3).toDouble, parts(4).toDouble)
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "level") {
-      val (n, secs) = runLevel(args(1).toInt, args(2))
-      println(s"LEVEL_RESULT ${args(1)} $n $secs")
+      val (n, secs, asofSecs) = runLevel(args(1).toInt, args(2))
+      println(s"LEVEL_RESULT ${args(1)} $n $secs $asofSecs")
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,13 +192,15 @@ object Bench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8")
       .split(",").map(_.trim.toInt).toSeq
     val results = levels.map(cpus => cpus -> runLevelForked(cpus, rawPath)).toMap
-    val (nSeq, tLo) = results(levels.head)
+    val (nSeq, tLo, aLo) = results(levels.head)
     val n8 = nSeq
     val t8 = tLo
     val t32 = results(levels.last)._2
+    val aHi = results(levels.last)._3
     val thr8 = n8 / t8
     val thr32 = n8 / t32
     val eff = (thr32 / thr8) / (levels.last.toDouble / levels.head)
+    val asofEff = ((n8 / aHi) / (n8 / aLo)) / (levels.last.toDouble / levels.head)
 
     // per-query timings on the driver testdata (final session at full width)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -191,6 +219,6 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = t8 + t32 + queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"rollup+compress cascade + operator queries","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_sequences":$n8,"levels":"${levels.mkString("/")}","cascade_sec_lo":$t8%.2f,"cascade_sec_hi":$t32%.2f,"throughput_seq_per_sec_lo":${thr8.toLong},"throughput_seq_per_sec_hi":${thr32.toLong},"scaling_efficiency":$eff%.3f}""")
+      f"""{"metric":"rollup+compress cascade + operator queries","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_sequences":$n8,"levels":"${levels.mkString("/")}","cascade_sec_lo":$t8%.2f,"cascade_sec_hi":$t32%.2f,"throughput_seq_per_sec_lo":${thr8.toLong},"throughput_seq_per_sec_hi":${thr32.toLong},"scaling_efficiency":$eff%.3f,"asof_sec_lo":$aLo%.2f,"asof_sec_hi":$aHi%.2f,"asof_scaling_efficiency":$asofEff%.3f}""")
   }
 }
