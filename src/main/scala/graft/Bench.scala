@@ -114,9 +114,14 @@ object Bench {
     val t0 = System.nanoTime()
     val joined = graft.tiers.AsOfJoin.asof(probe, build, Seq("source"), "ts", "ts",
       Seq("asof_v"), numChunks = 64, rightSeq = Some("seq"))
-    val out = joined.count()
+    // aggregate over the JOINED VALUE, not count(*): a bare count lets
+    // Catalyst prune the unused window columns and skip the join entirely
+    // (measured: 4.6 s "joins" of 120M rows at local[2])
+    val r = joined.agg(count(col("asof_v")), count(lit(1))).head()
+    val (matched, out) = (r.getLong(0), r.getLong(1))
     val secs = (System.nanoTime() - t0) / 1e9
-    require(out == n, s"as-of join must preserve probe rows: $out != $n")
+    require(out == n && matched > 0,
+      s"as-of join must preserve probe rows and produce matches: $out/$n, $matched")
     obs.unpersist(blocking = false)
     (n, secs)
   }
@@ -140,13 +145,16 @@ object Bench {
       deleteRec(new java.io.File(warmBase))
       // min-of-2: single-shot wall times swing ±30% on this shared VM
       // (neighbour steal, reclaim); min under additive noise estimates the
-      // true cost. Second run skipped if the first blew the time budget.
+      // true cost. The rerun budget must COVER the level-2 cascade (~500-750s
+      // at 128M) — with a 360s budget level 2 was effectively single-shot,
+      // and its noise swung the round's efficiency 0.76↔1.33 on identical
+      // code. Second run skipped only if the first blew a 900s budget.
       val r1 = cascade(s, rawPath)
       val cascadeBest =
-        if (r1._2 <= 360.0) math.min(r1._2, cascade(s, rawPath)._2) else r1._2
+        if (r1._2 <= 900.0) math.min(r1._2, cascade(s, rawPath)._2) else r1._2
       val a1 = asofBench(s, rawPath)
       val asofBest =
-        if (a1._2 <= 360.0) math.min(a1._2, asofBench(s, rawPath)._2) else a1._2
+        if (a1._2 <= 420.0) math.min(a1._2, asofBench(s, rawPath)._2) else a1._2
       (r1._1, cascadeBest, asofBest)
     } finally s.stop()
   }

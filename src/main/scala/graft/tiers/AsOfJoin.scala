@@ -101,17 +101,25 @@ object AsOfJoin {
     val chunked = unioned.withColumn("_chunk", floor((col("_t") - lo) / chunkW).cast("long"))
 
     // boundary: per (key, chunk) the build side's last (values, tie) — then
-    // carry-in for chunk c = the latest boundary from any chunk < c. Both
-    // steps run on a keys×chunks-sized frame, never on the data.
+    // carry-in for chunk c = the latest boundary from any chunk < c. The
+    // chunk spine is GENERATED from the build-key set (first build chunk →
+    // last chunk) rather than distinct-scanning the data: only keys with
+    // build rows can carry, and the chunk universe is known, so no
+    // data-sized pass is spent discovering (key, chunk) combinations.
     val valStruct = struct(valueCols.map(col): _*)
     val perChunkLast = chunked
       .filter(col("_side") === 0)
       .groupBy((keyCols.map(col) :+ col("_chunk")): _*)
       .agg(max_by(valStruct, struct(col("_t"), col("_tie"))).as("_last"))
-    val allChunks = chunked.select((keyCols.map(col) :+ col("_chunk")): _*).distinct()
+    val maxChunk = (hi - lo) / chunkW
+    val chunkSpine = perChunkLast
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("_chunk")).as("_c0"))
+      .select((keyCols.map(col) :+
+        explode(sequence(col("_c0"), lit(maxChunk))).as("_chunk")): _*)
     val carryW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = allChunks
+    val carries = chunkSpine
       .join(perChunkLast, keyCols :+ "_chunk", "left")
       .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(carryW))
       .filter(col("_carry").isNotNull)
