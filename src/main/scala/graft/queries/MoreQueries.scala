@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.Pages
 import graft.ops.{Dedup, Multimodal, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,10 +104,16 @@ object MoreQueries {
     * from raw anyway (/root/reference/lib/event/src/metric/mod.rs:62), so an
     * approximate contract is the defensible 100 TB path: exact `percentile`
     * buffers every value per group (ObjectHashAggregate), the sketch ships a
-    * fixed-size summary. The query asserts each sketch quantile lands within
-    * 1% of the group's value range; the oracle is exact + `true`.
+    * fixed-size summary. GK guarantees RANK error (not value error), so the
+    * assertion is rank-windowed: each sketch quantile must land inside the
+    * exact [q−0.01, q+0.01] value window (which covers adjacent order
+    * statistics at small n and tightens naturally at scale); the oracle is
+    * exact + `true`.
     */
-  def summaryQuantilesSketch(s: SparkSession, dir: String): DataFrame =
+  def summaryQuantilesSketch(s: SparkSession, dir: String): DataFrame = {
+    def inWindow(ap: Column, q: Double): Column =
+      ap.between(expr(s"percentile(value, ${math.max(q - 0.01, 0.0)})"),
+        expr(s"percentile(value, ${math.min(q + 0.01, 1.0)})"))
     EventQueries.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -115,13 +121,15 @@ object MoreQueries {
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"),
         expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("_ap"),
-        ((max(col("value")) - min(col("value"))) * 0.01).as("_tol"),
+        inWindow(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")(0), 0.5)
+          .and(inWindow(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")(1), 0.9))
+          .and(inWindow(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")(2), 0.99))
+          .as("sketch_ok"),
         count(lit(1)).as("cnt"))
       .select(col("event_type"), col("p50"), col("p90"), col("p99"), col("cnt"),
-        (abs(col("_ap")(0) - col("p50")) <= col("_tol") &&
-          abs(col("_ap")(1) - col("p90")) <= col("_tol") &&
-          abs(col("_ap")(2) - col("p99")) <= col("_tol")).as("sketch_ok"))
+        col("sketch_ok"))
       .orderBy(col("event_type"))
+  }
 
   /** MinHash LSH near-dup dedup over documents (ScalaTest-verified). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
