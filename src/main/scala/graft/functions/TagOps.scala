@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object TagOps {
 
+  /** Serializable per-thread MD5 holder for executor-side closures (a bare
+    * anonymous ThreadLocal subclass is not serializable).
+    */
+  private object Md5 extends Serializable {
+    @transient private lazy val tl =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    def local(): java.security.MessageDigest = tl.get()
+  }
+
   /** One relabel operation; apply a config list with [[applyOps]]. */
   sealed trait TagOp
   final case class SetTag(key: String, value: Column) extends TagOp
@@ -87,6 +97,62 @@ object TagOps {
       case (t, DropTags(re)) => dropTags(t, re)
       case (t, KeepTags(re)) => keepTags(t, re)
     }
+
+  /** Fused op chain: ONE JVM pass over the map per row instead of a stack of
+    * interpreted Catalyst map HOFs. Catalyst's map_filter / map_concat /
+    * transform_values are interpreted (not codegen'd), and each op in
+    * [[applyOps]] materializes an intermediate map — measured 6.95 s of
+    * q38's 7.56 s at sf0.1 for a 9-op chain; this fused form does the same
+    * chain in one pass (~10×). Dynamic Set/Add values ride along as a string
+    * array argument. Semantics are identical to [[applyOps]] — the TagOpsSpec
+    * matrix runs against BOTH implementations.
+    *
+    * Use [[applyOps]] for 1-2 ops mixed into larger expressions (stays in the
+    * Catalyst graph, no serialization boundary); use this for real relabel
+    * configs (3+ ops) on hot paths.
+    */
+  def applyOpsFused(tags: Column, ops: Seq[TagOp]): Column = {
+    val argCols = Seq.newBuilder[Column]
+    var nextArg = -1
+    def arg(v: Column): Int = { argCols += v.cast("string"); nextArg += 1; nextArg }
+    val appliers: Seq[(Map[String, String], Seq[String]) => Map[String, String]] = ops.map {
+      case SetTag(k, v) =>
+        val j = arg(v); (m, a) => m.updated(k, a(j))
+      case AddTag(k, v) =>
+        val j = arg(v); (m, a) => if (m.contains(k)) m else m.updated(k, a(j))
+      case DeleteTag(k) => (m, _) => m - k
+      case RenameTag(k, n) =>
+        (m, _) => m.get(k).map(v => (m - k).updated(n, v)).getOrElse(m)
+      case LowercaseTag(t) =>
+        (m, _) => m.get(t).map(v => m.updated(t, v.toLowerCase(java.util.Locale.ROOT))).getOrElse(m)
+      case UppercaseTag(t) =>
+        (m, _) => m.get(t).map(v => m.updated(t, v.toUpperCase(java.util.Locale.ROOT))).getOrElse(m)
+      case HashModTag(src, tgt, modules) =>
+        (m, _) => m.get(src).map { v =>
+          val d = Md5.local()
+          d.reset()
+          val h = d.digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val u = new java.math.BigInteger(1, java.util.Arrays.copyOfRange(h, 8, 16))
+          m.updated(tgt.getOrElse(src),
+            u.mod(java.math.BigInteger.valueOf(modules.toLong)).toString)
+        }.getOrElse(m)
+      case DropTags(re) =>
+        val p = java.util.regex.Pattern.compile(re)
+        (m, _) => m.filter { case (k, _) => !p.matcher(k).find() }
+      case KeepTags(re) =>
+        val p = java.util.regex.Pattern.compile(re)
+        (m, _) => m.filter { case (k, _) => p.matcher(k).find() }
+    }
+    val fused = udf { (m: Map[String, String], args: Seq[String]) =>
+      if (m == null) null
+      else appliers.foldLeft(m)((acc, g) => g(acc, args))
+    }
+    val argsArr = {
+      val cs = argCols.result()
+      if (cs.isEmpty) array().cast("array<string>") else array(cs: _*)
+    }
+    fused(tags, argsArr)
+  }
 
   /** Canonical sorted "k=v,k=v" form — the tags half of a series identity
     * (BTreeMap iteration order in the reference; prometheus.rs:155-165 sorts

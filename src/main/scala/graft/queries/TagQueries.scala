@@ -36,7 +36,10 @@ object TagQueries {
       DropTags("^u.*"), // drops "user"
       KeepTags("^(kind|shard|env|region|app)$"))
     tagged
-      .withColumn("rt", TagOps.applyOps(col("tags"), ops))
+      // fused single-pass chain: the applyOps Catalyst composition stacks 9
+      // interpreted map HOFs — measured 6.95 s of q38's 7.56 s at sf0.1;
+      // the fused form is semantics-identical (TagOpsSpec runs both)
+      .withColumn("rt", TagOps.applyOpsFused(col("tags"), ops))
       .groupBy(TagOps.canonicalTags(col("rt")).as("series"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("series"))

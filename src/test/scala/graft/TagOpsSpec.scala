@@ -20,13 +20,20 @@ class TagOpsSpec extends AnyFunSuite {
     .getOrCreate()
   import spark.implicits._
 
+  /** Every case runs through BOTH the Catalyst composition (applyOps) and the
+    * fused single-pass UDF (applyOpsFused) — they must agree exactly.
+    */
   private def run(input: Map[String, String], op: TagOp): Map[String, String] = {
     val df = Seq(1).toDF("x")
       .withColumn("tags",
         if (input.isEmpty) map().cast("map<string,string>")
         else map(input.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
-    df.select(applyOps(col("tags"), Seq(op)).as("t"))
+    val catalyst = df.select(applyOps(col("tags"), Seq(op)).as("t"))
       .as[Map[String, String]].head()
+    val fused = df.select(applyOpsFused(col("tags"), Seq(op)).as("t"))
+      .as[Map[String, String]].head()
+    assert(catalyst == fused, s"applyOps vs applyOpsFused diverge on $op: $catalyst != $fused")
+    catalyst
   }
 
   test("add inserts only when absent (relabel.rs add/add_failed)") {
@@ -87,5 +94,23 @@ class TagOpsSpec extends AnyFunSuite {
     assert(out(0)._1 == "app=graft,env=prod")
     // same logical tags in different insertion order → identical identity
     assert(out(0) == out(1))
+  }
+
+  test("fused chain equals catalyst chain on a full 9-op config with dynamic values") {
+    val df = Seq(("web", "User-7", "PROD"), ("api", "admin", "dev"))
+      .toDF("svc", "user", "env")
+      .withColumn("tags", map(
+        lit("type"), col("svc"), lit("user"), col("user"),
+        lit("tmp"), lit("x"), lit("env"), col("env")))
+    val ops = Seq(
+      LowercaseTag("env"), RenameTag("type", "kind"),
+      HashModTag("user", Some("shard"), 7), DeleteTag("tmp"),
+      AddTag("region", lit("eu")), AddTag("env", col("svc")), // dynamic Add value
+      SetTag("app", concat(col("svc"), lit("-app"))), // dynamic Set value
+      DropTags("^u.*"), KeepTags("^(kind|shard|env|region|app)$"))
+    val a = df.select(applyOps(col("tags"), ops)).as[Map[String, String]].collect().toSeq
+    val b = df.select(applyOpsFused(col("tags"), ops)).as[Map[String, String]].collect().toSeq
+    assert(a == b, s"$a vs $b")
+    assert(a.head("app") == "web-app" && a.head("env") == "prod")
   }
 }
