@@ -82,7 +82,10 @@ object SparkEntry {
     "q42_quantiles_sketch" -> (MoreQueries.summaryQuantilesSketch _),
     "q43_exporter_expo" -> (TagQueries.exporterExpo _),
     "q44_parse_query_url" -> (TagQueries.parseQueryUrl _),
-    "q45_pushgateway_grouping" -> (TagQueries.pushgatewayGrouping _)
+    "q45_pushgateway_grouping" -> (TagQueries.pushgatewayGrouping _),
+    // rows-only (hash-bucketed ANN not DuckDB-reproducible; recall is
+    // ScalaTest-verified against brute force)
+    "q46_ann_multiprobe" -> (MoreQueries.annMultiProbe _)
   )
 
   def oracleSql: Map[String, String] = Map(

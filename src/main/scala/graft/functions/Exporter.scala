@@ -122,7 +122,8 @@ object Exporter {
       ladder: Seq[Double] = Nil,
       descriptions: Map[String, String] = Map.empty,
       expiresAtCol: Option[String] = None,
-      now: Option[Column] = None): DataFrame = {
+      now: Option[Column] = None,
+      quantiles: Seq[Double] = Nil): DataFrame = {
     val live = (expiresAtCol, now) match {
       case (Some(e), Some(n)) => df.filter(col(e) >= n)
       case _ => df
@@ -141,13 +142,26 @@ object Exporter {
       struct(lit(i).as("sub"),
         sample("_bucket", Some(s"""le="${fmtUpper(u)}""""), col("m_buckets")(i)).as("text"))
     }
+    // summary quantile lines (write_summary, exporter.rs:289-310): unsuffixed
+    // name + quantile label, values from the m_quantiles double array
+    val quantileLines = quantiles.zipWithIndex.map { case (qv, i) =>
+      struct(lit(i).as("sub"),
+        sample("", Some(s"""quantile="${qv.toString}""""), col("m_quantiles")(i)).as("text"))
+    }
+    val sumCount = Seq(
+      struct(lit(1000).as("sub"), sample("_sum", None, col("m_sum")).as("text")),
+      struct(lit(1001).as("sub"), sample("_count", None, col("m_count")).as("text")))
     val lines =
-      when(col("kind") === "histogram",
-        array(bucketLines ++ Seq(
-          struct(lit(ladder.size).as("sub"), sample("_sum", None, col("m_sum")).as("text")),
-          struct(lit(ladder.size + 1).as("sub"),
-            sample("_count", None, col("m_count")).as("text"))): _*))
-        .otherwise(array(struct(lit(0).as("sub"), sample("", None, col("m_sum")).as("text"))))
+      when(col("kind") === "histogram", array(bucketLines ++ sumCount: _*))
+        .otherwise(
+          if (quantiles.isEmpty)
+            when(col("kind") === "summary", array(sumCount: _*))
+              .otherwise(array(struct(lit(0).as("sub"),
+                sample("", None, col("m_sum")).as("text"))))
+          else
+            when(col("kind") === "summary", array(quantileLines ++ sumCount: _*))
+              .otherwise(array(struct(lit(0).as("sub"),
+                sample("", None, col("m_sum")).as("text")))))
     val body = live
       .select(col("name"), labels.as("labels"), explode(lines).as("l"))
       .select(col("name"), col("labels"), col("l.sub").as("sub"), col("l.text").as("text"))

@@ -67,4 +67,28 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Multi-probe LSH top-k: candidates live in the query's bucket OR any
+    * bucket within hamming distance `probeHamming` of it (probing the
+    * 1-bit-flip neighborhood is the standard recall fix for sign-LSH —
+    * vectors near a hyperplane land on either side). Candidate volume grows
+    * from 1 to 1 + nBits (+ nBits(nBits−1)/2 at hamming 2) buckets while the
+    * scan stays one codegen'd filter — no shuffle, no bucket explosion.
+    * Single-probe recall fell off with nBits (the round-1 noted limit);
+    * multi-probe trades back candidate volume for recall with the SAME index.
+    */
+  def lshTopKMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nBits: Int = 8, dim: Int = 64,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0, 2]")
+    val planes = hyperplanes(nBits, dim)
+    val withBucket = emb.withColumn("_bucket", lshBucket(col(vecCol), planes))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_q"), col("_bucket").as("_qb"))
+    withBucket.crossJoin(broadcast(q))
+      .filter(bit_count(col("_bucket").bitwiseXOR(col("_qb"))) <= probeHamming)
+      .select(col(idCol), round(cosine(col(vecCol), col("_q")), 5).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -166,6 +166,14 @@ object MoreQueries {
     Similarity.lshTopK(DocQueries.embeddings(s, dir), "vec_id", "embedding",
       queryId = 0L, k = 10)
 
+  /** Multi-probe LSH ANN (ScalaTest-verified recall monotonicity vs
+    * single-probe and brute force): same index, 1-bit-flip probe
+    * neighborhood — the recall fix for the round-1 single-probe limit.
+    */
+  def annMultiProbe(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKMultiProbe(DocQueries.embeddings(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 10, probeHamming = 1)
+
   /** Gorilla page compression over the events stream: one binary page per
     * (event_type, day), with byte sizes and a bit-exact roundtrip flag
     * (ScalaTest + property-tested codec).

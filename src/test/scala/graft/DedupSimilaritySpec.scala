@@ -161,6 +161,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     got.foreach { case (id, c) => assert(bf(id) == c, s"id $id") }
   }
 
+  test("multi-probe LSH recall >= single-probe; probeHamming=0 equals single-probe") {
+    val bf = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.as[(Long, Double)].collect().map(_._1).toSet
+      (bf intersect got).size.toDouble / bf.size
+    }
+    val single = recall(Similarity.lshTopK(embeddings, "vec_id", "embedding", 0L, 10))
+    val p0 = recall(Similarity.lshTopKMultiProbe(embeddings, "vec_id", "embedding", 0L, 10,
+      probeHamming = 0))
+    val p1 = recall(Similarity.lshTopKMultiProbe(embeddings, "vec_id", "embedding", 0L, 10,
+      probeHamming = 1))
+    val p2 = recall(Similarity.lshTopKMultiProbe(embeddings, "vec_id", "embedding", 0L, 10,
+      probeHamming = 2))
+    assert(p0 == single) // hamming-0 probe IS the single-probe bucket
+    assert(p1 >= single && p2 >= p1, s"recall not monotone: $single / $p1 / $p2")
+    assert(p2 >= 0.5, s"2-probe recall too low: $p2 (single $single)")
+  }
+
   test("multimodal stub pipeline: all kinds decoded, batching visible") {
     val out = graft.ops.Multimodal.pipeline(spark, "/root/testdata/sf0.001").collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))

@@ -83,6 +83,22 @@ class ExporterSpec extends AnyFunSuite {
       "app_up 1.0"), body.mkString("\n"))
   }
 
+  test("renderExposition: summary kind expands to quantile lines + _sum/_count") {
+    val rows = Seq(
+      ("lat", Map("svc" -> "a"), "summary", 12.5, 40L, Seq.empty[Long], Seq(0.3, 0.9, 2.1)))
+      .toDF("name", "tags", "kind", "m_sum", "m_count", "m_buckets", "m_quantiles")
+    val body = Exporter.renderExposition(rows, quantiles = Seq(0.5, 0.9, 0.99))
+      .as[String].collect().toSeq
+    assert(body == Seq(
+      "# HELP lat ",
+      "# TYPE lat summary",
+      """lat{svc="a",quantile="0.5"} 0.3""",
+      """lat{svc="a",quantile="0.9"} 0.9""",
+      """lat{svc="a",quantile="0.99"} 2.1""",
+      """lat_sum{svc="a"} 12.5""",
+      """lat_count{svc="a"} 40"""), body.mkString("\n"))
+  }
+
   test("renderExposition: expired entries are skipped; fully-expired family loses its header") {
     val rows = Seq(
       ("live", Map("k" -> "1"), "gauge", 1.0, 1L, Seq.empty[Long], 100L),
