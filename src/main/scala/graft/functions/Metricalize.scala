@@ -68,7 +68,12 @@ object Metricalize {
     require(specs.nonEmpty, "at least one MetricSpec")
     val ladder = specs.flatMap(_.buckets).distinct.sorted
 
-    val perSpec = specs.zipWithIndex.map { case (sp, i) =>
+    // ONE source scan for all specs: each spec becomes a struct in a per-row
+    // array that is exploded — a per-spec union would re-scan the source
+    // once per spec (5 specs = 5 parquet scans; at 100 TB the scan IS the
+    // cost). Column pruning still reduces the single scan to the referenced
+    // columns only.
+    val specStructs = specs.zipWithIndex.map { case (sp, i) =>
       val raw = extract(propsCol, sp.valuePath)
       val v =
         if (sp.kind == "counter" && !sp.incrementByValue)
@@ -81,14 +86,18 @@ object Metricalize {
             Seq(lit(k), extract(propsCol, p))
           }: _*),
           (_, tv) => tv.isNotNull)
-      df.select(
+      struct(
         lit(sp.name).as("name"),
         tags.as("tags"),
         lit(sp.kind).as("kind"),
         v.as("v"),
         (ordCol.cast("long") * specs.length + i).as("ord"))
-        .filter(col("v").isNotNull) // missing value = dropped row (counted failure)
-    }.reduce(_ unionByName _)
+    }
+    val perSpec = df
+      .select(explode(array(specStructs: _*)).as("_m"))
+      .select(col("_m.name").as("name"), col("_m.tags").as("tags"),
+        col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"))
+      .filter(col("v").isNotNull) // missing value = dropped row (counted failure)
 
     // series key must be orderable (maps aren't groupable); the canonical
     // sorted string is exact because tag values are strings
