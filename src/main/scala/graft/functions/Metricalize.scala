@@ -139,6 +139,70 @@ object Metricalize {
   private def surviving: Column =
     col("_boundary").isNull || col("ord") > col("_boundary")
 
+  /** Streaming metricalize: the reference flushes its state map on a
+    * processing-time tick (metricalize.rs:161-190); here the flush is an
+    * EVENT-TIME tumbling window + watermark, so emission is deterministic
+    * and replayable. One row per (window, name, tags, kind): because each
+    * window's state starts empty (the tick analog), a kind conflict within a
+    * window yields one row PER KIND rather than the arrival-order reset —
+    * the documented divergence (batch [[metricalize]] replays the exact
+    * reset semantics when total order exists).
+    *
+    * `ordCol` breaks ties for gauge last-write-wins; append-mode compatible.
+    */
+  def metricalizeStream(
+      df: DataFrame,
+      propsCol: String,
+      specs: Seq[MetricSpec],
+      tsCol: String,
+      bucketSec: Long,
+      ordCol: Column,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(specs.nonEmpty, "at least one MetricSpec")
+    val ladder = specs.flatMap(_.buckets).distinct.sorted
+    val specStructs = specs.zipWithIndex.map { case (sp, i) =>
+      val raw = extract(propsCol, sp.valuePath)
+      val v =
+        if (sp.kind == "counter" && !sp.incrementByValue)
+          when(raw.isNotNull, lit(1.0)).otherwise(lit(null).cast("double"))
+        else raw.cast("double")
+      val tags =
+        if (sp.tagPaths.isEmpty) map().cast("map<string,string>")
+        else map_filter(
+          map(sp.tagPaths.toSeq.sortBy(_._1).flatMap { case (k, p) =>
+            Seq(lit(k), extract(propsCol, p))
+          }: _*),
+          (_, tv) => tv.isNotNull)
+      struct(lit(sp.name).as("name"), tags.as("tags"), lit(sp.kind).as("kind"),
+        v.as("v"), (ordCol.cast("long") * specs.length + i).as("ord"))
+    }
+    df
+      .withColumn("_ts", col(tsCol))
+      .withWatermark("_ts", watermark)
+      .select(col("_ts"), explode(array(specStructs: _*)).as("_m"))
+      .select(col("_ts"), col("_m.name").as("name"), col("_m.tags").as("tags"),
+        col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"))
+      .filter(col("v").isNotNull)
+      .withColumn("skey", TagOps.canonicalTags(col("tags")))
+      .groupBy(window(col("_ts"), s"$bucketSec seconds").as("w"),
+        col("name"), col("skey"), col("kind"))
+      .agg(
+        first(col("tags")).as("tags"),
+        sum(col("v")).as("_sum"),
+        count(lit(1)).as("m_count"),
+        max_by(col("v"), col("ord")).as("_last"),
+        (if (ladder.isEmpty) array().cast("array<bigint>")
+         else array(ladder.map(b =>
+           sum(when(col("v") <= b, 1L).otherwise(0L))): _*)).as("_hb"))
+      .select(
+        unix_timestamp(col("w.start")).as("bucket"),
+        col("name"), col("tags"), col("kind"),
+        when(col("kind") === "gauge", col("_last")).otherwise(col("_sum")).as("m_sum"),
+        col("m_count"),
+        when(col("kind") === "histogram", col("_hb"))
+          .otherwise(array().cast("array<bigint>")).as("m_buckets"))
+  }
+
   /** Per-spec count of rows whose value extraction failed (the
     * `metricalize_failed_total` counter, metricalize.rs:210-215).
     */

@@ -180,6 +180,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p2 >= 0.5, s"2-probe recall too low: $p2 (single $single)")
   }
 
+  test("dedup field modes: Match keys on listed fields, Ignore on their complement") {
+    import graft.ops.DedupFields
+    val df = Seq(
+      ("a", "x", 1L, 1L, 10.0), ("a", "y", 2L, 2L, 20.0), // same k1, diff k2
+      ("a", "x", 3L, 3L, 30.0), // dup of row 1 under both modes
+      ("b", "x", 4L, 4L, 10.0)) // same v as row1 but k1 differs
+      .toDF("k1", "k2", "ts", "seq", "v")
+    val matched = DedupFields.dedupMatch(df, Seq("k1"), "ts", "seq")
+      .select("k1", "ts").as[(String, Long)].collect().toSet
+    assert(matched == Set(("a", 1L), ("b", 4L))) // first per k1
+    val ignored = DedupFields.dedupIgnore(df, Seq("v"), "ts", "seq")
+      .select("k1", "k2", "ts").as[(String, String, Long)].collect().toSet
+    // key = (k1, k2): row 3 is the only duplicate
+    assert(ignored == Set(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L)))
+    val e = intercept[IllegalArgumentException] {
+      DedupFields.dedupIgnore(df, Seq("k1", "k2", "v"), "ts", "seq")
+    }
+    assert(e.getMessage.contains("key"))
+  }
+
   test("multimodal stub pipeline: all kinds decoded, batching visible") {
     val out = graft.ops.Multimodal.pipeline(spark, "/root/testdata/sf0.001").collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))

@@ -81,6 +81,33 @@ class MetricalizeSpec extends AnyFunSuite {
     assert(out == (("counter", 17.0, 2L, 2L))) // 8+9 survive; 2 flips
   }
 
+  test("streaming metricalize: event-time window flush matches hand-computed state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, String)]
+    val df = stream.toDF().toDF("ts", "seq", "props")
+      .withColumn("ts_ts", timestamp_seconds(col("ts")))
+    val out = Metricalize.metricalizeStream(df, "props",
+      Seq(
+        Metricalize.MetricSpec("b_total", "counter", "$.bytes"),
+        Metricalize.MetricSpec("b_gauge", "gauge", "$.bytes")),
+      "ts_ts", bucketSec = 60L, ordCol = col("seq"))
+    val q = out.writeStream.format("memory").queryName("mz_out").outputMode("append").start()
+    // window [0, 60): bytes 10, 30 (seq order 1, 2); window [60, 120): 5
+    stream.addData(Seq((10L, 1L, """{"bytes": 10}"""), (20L, 2L, """{"bytes": 30}""")))
+    stream.addData(Seq((70L, 3L, """{"bytes": 5}""")))
+    // advance the watermark far enough to close both windows
+    stream.addData(Seq((100000L, 4L, """{"bytes": 1}""")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mz_out")
+      .select($"bucket", $"name", $"m_sum", $"m_count")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set(
+      (0L, "b_total", 40.0, 2L), (0L, "b_gauge", 30.0, 2L),
+      (60L, "b_total", 5.0, 1L), (60L, "b_gauge", 5.0, 1L)))
+  }
+
   test("extraction failures are counted per spec") {
     val out = Metricalize.extractionFailures(logs, "props",
       Seq(MetricSpec("bytes_total", "counter", "$.bytes"),
