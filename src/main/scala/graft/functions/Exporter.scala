@@ -23,11 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object Exporter {
 
-  /** Canonical label string: "k1=\"v1\",k2=\"v2\"" sorted by key. */
+  /** Escape a label VALUE for the exposition text format: backslash, double
+    * quote and newline get backslash-escaped (the write-side mirror of
+    * PromText.parseLine's unescaping — the reference escapes on write too).
+    * Keys are metric-name charset by spec and need no escaping.
+    */
+  private def escExpoValue(v: Column): Column = {
+    val b = regexp_replace(v, "\\\\", "\\\\\\\\") // \  -> \\
+    val q = regexp_replace(b, "\"", "\\\\\"") // "  -> \"
+    regexp_replace(q, "\n", "\\\\n") // LF -> \n
+  }
+
+  /** Canonical label string: "k1=\"v1\",k2=\"v2\"" sorted by key; values are
+    * exposition-escaped so the rendered body roundtrips through the parser.
+    */
   def canonicalLabels(tags: Column): Column =
     array_join(
       transform(array_sort(map_entries(tags)),
-        e => concat(e("key"), lit("=\""), e("value"), lit("\""))),
+        e => concat(e("key"), lit("=\""), escExpoValue(e("value")), lit("\""))),
       ",")
 
   /** Assign remote-write batch ids: within each tenant, events are ordered by
@@ -49,15 +62,21 @@ object Exporter {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     // order-preserving long form of the event time (µs for timestamps;
     // TIMESTAMP_NTZ has no direct long cast)
-    val t = df.schema(tsCol).dataType match {
+    val tRaw = df.schema(tsCol).dataType match {
       case TimestampNTZType => unix_micros(col(tsCol).cast("timestamp"))
       case TimestampType => unix_micros(col(tsCol))
       case _ => col(tsCol).cast("long")
     }
     val Array(lo, hi) = {
-      val r = df.agg(min(t), max(t)).head()
+      val r = df.agg(min(tRaw), max(tRaw)).head()
       if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
     }
+    // null / uncastable event times coalesce to a below-range sentinel so
+    // those rows pack FIRST (nulls-first, like the single-window formulation
+    // ordering) instead of getting a null _chunk and vanishing in the
+    // offsets join. lo is a real observed min (or 0), so lo-1 cannot
+    // underflow for any physical timestamp.
+    val t = coalesce(tRaw, lit(lo - 1L))
     val chunkW = math.max(1L, (hi - lo) / math.max(1, numChunks) + 1)
     val chunked = df.withColumn("_chunk", floor((t - lo) / chunkW).cast("long"))
     val offsets = chunked
@@ -172,9 +191,12 @@ object Exporter {
     val descCol = descriptions.foldLeft(lit(""): Column) { case (acc, (n, d)) =>
       when(col("name") === n, lit(d)).otherwise(acc)
     }
+    // max(), not first(): a family whose rows disagree on kind (the mismatch
+    // case metricalize models) must render ONE deterministic header under any
+    // partitioning — max picks the lexicographically-last kind string
     val headers = live
       .groupBy(col("name"))
-      .agg(first(kindStr).as("_kind"), first(descCol).as("_desc"))
+      .agg(max(kindStr).as("_kind"), max(descCol).as("_desc"))
       .select(col("name"), lit("").as("labels"),
         array(
           struct(lit(-2).as("sub"),

@@ -28,10 +28,23 @@ import org.apache.spark.sql.functions._
   * column (the LogRecord field analog, lib/event/src/log/mod.rs:208-231).
   *
   * Scale shape: per-spec extraction is a codegen'd projection fanout off one
-  * cached parent; the only data-sized shuffles hash on (name, tags) — the
-  * natural series key — and every window is partitioned by it too, so
-  * parallelism tracks series cardinality (high by construction), never spec
-  * or kind cardinality.
+  * source scan (struct-array explode — never a per-spec re-scan). The
+  * kind-replay is CHUNKED over the ord space (the AsOfJoin pattern): the only
+  * ordered windows partition by (name, tags-key, ord-chunk), so parallelism is
+  * series × chunks even when one hot metric family dominates — a window
+  * partitioned by the series alone would make one task sort the whole family
+  * (the round-2 straggler shape). The price is one extra hash shuffle of the
+  * data (chunked window partitioning + the final series groupBy) plus two
+  * windows over a tiny series×chunks frame.
+  *
+  * Histogram buckets are PER SPEC: internally observations are counted
+  * against the union ladder of all specs (one codegen'd sum per rung), and
+  * each output row exposes only the rungs of the spec that produced its final
+  * kind — so two histogram specs with different ladders don't leak each
+  * other's uppers. (Divergence note: if two same-name histogram specs with
+  * different ladders write the same series, the reference buckets against the
+  * ladder of the spec that created the state; here the FINAL spec's ladder is
+  * reported. Same-name same-ladder specs — the common case — are exact.)
   */
 object Metricalize {
 
@@ -47,33 +60,26 @@ object Metricalize {
     require(kind != "histogram" || buckets.nonEmpty, "histogram needs buckets")
   }
 
+  /** The union bucket ladder the internal per-rung counters use; output rows
+    * only expose each spec's own rungs (see class doc).
+    */
+  def unionLadder(specs: Seq[MetricSpec]): Seq[Double] =
+    specs.flatMap(_.buckets).distinct.sorted
+
   private def extract(propsCol: String, path: String): Column =
     if (path.startsWith("col:")) col(path.stripPrefix("col:")).cast("string")
     else get_json_object(col(propsCol), path)
 
-  /** Rows → unified metric rows. `ordCol` is the event's position in the
-    * stream-order replay (unique per input row); spec index is folded in so
-    * one event's specs apply in config order, like the reference's per-event
-    * config loop.
-    *
-    * Output: (name, tags, kind, m_sum, m_count, m_buckets, mismatches) — one
-    * row per (name, tags) series; m_buckets is the cumulative le-ladder for
-    * histograms, empty otherwise.
+  /** Per-spec extraction structs off ONE scan: name, tags, kind, v, packed
+    * ord, spec index. The packed ord (event ord × #specs + spec position)
+    * replays one event's specs in config order; packing is guarded against
+    * Long overflow (the tier layer guards its packed ranges the same way,
+    * TierRollup.fromObs).
     */
-  def metricalize(
-      df: DataFrame,
-      propsCol: String,
-      specs: Seq[MetricSpec],
-      ordCol: Column): DataFrame = {
-    require(specs.nonEmpty, "at least one MetricSpec")
-    val ladder = specs.flatMap(_.buckets).distinct.sorted
-
-    // ONE source scan for all specs: each spec becomes a struct in a per-row
-    // array that is exploded — a per-spec union would re-scan the source
-    // once per spec (5 specs = 5 parquet scans; at 100 TB the scan IS the
-    // cost). Column pruning still reduces the single scan to the referenced
-    // columns only.
-    val specStructs = specs.zipWithIndex.map { case (sp, i) =>
+  private def specStructs(propsCol: String, specs: Seq[MetricSpec], ordCol: Column): Seq[Column] = {
+    val maxOrd = Long.MaxValue / specs.length
+    val ordL = ordCol.cast("long")
+    specs.zipWithIndex.map { case (sp, i) =>
       val raw = extract(propsCol, sp.valuePath)
       val v =
         if (sp.kind == "counter" && !sp.incrementByValue)
@@ -86,41 +92,125 @@ object Metricalize {
             Seq(lit(k), extract(propsCol, p))
           }: _*),
           (_, tv) => tv.isNotNull)
+      val packed = when(ordL >= 0L && ordL < maxOrd, ordL * specs.length + i)
+        .otherwise(raise_error(concat(
+          lit(s"metricalize ord out of packed range [0, $maxOrd): "),
+          ordL.cast("string"))).cast("long"))
       struct(
         lit(sp.name).as("name"),
         tags.as("tags"),
         lit(sp.kind).as("kind"),
         v.as("v"),
-        (ordCol.cast("long") * specs.length + i).as("ord"))
+        packed.as("ord"),
+        lit(i).as("sidx"))
     }
+  }
+
+  /** m_buckets for the FINAL spec (`_fidx`): select that spec's rungs out of
+    * the union-ladder counter array `_hb`.
+    */
+  private def perSpecBuckets(specs: Seq[MetricSpec], ladder: Seq[Double]): Column = {
+    val posOf = ladder.zipWithIndex.toMap
+    specs.zipWithIndex.foldLeft(array().cast("array<bigint>")) {
+      case (acc, (sp, i)) =>
+        if (sp.kind != "histogram") acc
+        else when(col("_fidx") === i,
+          array(sp.buckets.sorted.map(b => col("_hb")(posOf(b))): _*)).otherwise(acc)
+    }
+  }
+
+  /** Rows → unified metric rows. `ordCol` is the event's position in the
+    * stream-order replay (unique per input row, non-negative).
+    *
+    * Output: (name, tags, kind, m_sum, m_count, m_buckets, mismatches) — one
+    * row per (name, tags) series; m_buckets is the final spec's cumulative
+    * le-ladder for histograms, empty otherwise.
+    *
+    * @param numChunks ord-space chunk count — the series × chunks parallelism
+    *                  knob for the kind-replay windows
+    */
+  def metricalize(
+      df: DataFrame,
+      propsCol: String,
+      specs: Seq[MetricSpec],
+      ordCol: Column,
+      numChunks: Int = 64): DataFrame = {
+    require(specs.nonEmpty, "at least one MetricSpec")
+    require(numChunks >= 1, "numChunks must be >= 1")
+    val ladder = unionLadder(specs)
+    val kinds = specs.map(_.kind).distinct.sorted
+
     val perSpec = df
-      .select(explode(array(specStructs: _*)).as("_m"))
+      .select(explode(array(specStructs(propsCol, specs, ordCol): _*)).as("_m"))
       .select(col("_m.name").as("name"), col("_m.tags").as("tags"),
-        col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"))
+        col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"),
+        col("_m.sidx").as("sidx"))
       .filter(col("v").isNotNull) // missing value = dropped row (counted failure)
 
     // series key must be orderable (maps aren't groupable); the canonical
-    // sorted string is exact because tag values are strings
+    // sorted escaped string is exact (injective) because tag values are strings
     val keyed = perSpec.withColumn("skey", TagOps.canonicalTags(col("tags")))
 
-    val series = Window.partitionBy(col("name"), col("skey"))
-    val ordered = series.orderBy(col("ord"))
-    val staged = keyed
-      .withColumn("_last_kind", max_by(col("kind"), col("ord")).over(series))
-      .withColumn("_prev_kind", lag(col("kind"), 1).over(ordered))
-      .withColumn("_boundary",
-        max(when(col("kind") =!= col("_last_kind"), col("ord"))).over(series))
+    // ---- kind-replay, chunked over the ord space ----
+    // chunk width from the observed ord span: one tiny map-side reduce
+    val Array(lo, hi) = {
+      val r = keyed.agg(min(col("ord")), max(col("ord"))).head()
+      if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
+    }
+    val chunkW = math.max(1L, (hi - lo) / numChunks + 1)
+    val chunked = keyed.withColumn("_chunk", floor((col("ord") - lo) / chunkW).cast("long"))
+
+    // (a) within-chunk transitions: the only data-sized ordered window, and it
+    // partitions by (series, chunk) — parallelism series × chunks
+    val wc = Window.partitionBy(col("name"), col("skey"), col("_chunk")).orderBy(col("ord"))
+    val marked = chunked
+      .withColumn("_prev_kind", lag(col("kind"), 1).over(wc))
       .withColumn("_mismatch",
         when(col("_prev_kind").isNotNull && col("kind") =!= col("_prev_kind"), 1L)
           .otherwise(0L))
 
-    staged
+    // (b) per-(series, chunk) summary — hash agg, no sort: first/last kind in
+    // ord order plus, for each statically-known kind k, the max ord among
+    // rows whose kind differs from k (the per-chunk boundary candidate)
+    val perChunkAggs =
+      Seq(min_by(col("kind"), col("ord")).as("_first_kind"),
+        max_by(col("kind"), col("ord")).as("_last_kind_c")) ++
+        kinds.map(k => max(when(col("kind") =!= k, col("ord"))).as(s"_bnot_$k"))
+    val perChunk = chunked
+      .groupBy(col("name"), col("skey"), col("_chunk"))
+      .agg(perChunkAggs.head, perChunkAggs.tail: _*)
+
+    // (c) per-series reduction over the TINY series×chunks frame: global last
+    // kind, cross-chunk transitions (prev non-empty chunk's last kind vs this
+    // chunk's first kind), and the global boundary = max ord with
+    // kind != last kind (selected from the per-kind candidates)
+    val seriesLast = perChunk
+      .groupBy(col("name"), col("skey"))
+      .agg(max_by(col("_last_kind_c"), col("_chunk")).as("_last_kind"))
+    val wSeries = Window.partitionBy(col("name"), col("skey")).orderBy(col("_chunk"))
+    val bnotForLast = kinds.foldLeft(lit(null).cast("long")) { (acc, k) =>
+      when(col("_last_kind") === k, col(s"_bnot_$k")).otherwise(acc)
+    }
+    val seriesFrame = perChunk
+      .join(seriesLast, Seq("name", "skey"))
+      .withColumn("_prev_last", lag(col("_last_kind_c"), 1).over(wSeries))
+      .groupBy(col("name"), col("skey"))
+      .agg(
+        first(col("_last_kind")).as("_last_kind"),
+        sum(when(col("_prev_last").isNotNull && col("_prev_last") =!= col("_first_kind"), 1L)
+          .otherwise(0L)).as("_cross_mm"),
+        max(bnotForLast).as("_boundary"))
+
+    // (d) join the per-series (last kind, boundary, cross-transitions) back
+    // and aggregate: value aggregates cover the surviving trailing run only
+    marked
+      .join(seriesFrame, Seq("name", "skey"))
       .groupBy(col("name"), col("skey"))
       .agg(
         first(col("tags")).as("tags"),
-        max_by(col("kind"), col("ord")).as("kind"),
-        sum(col("_mismatch")).as("mismatches"),
-        // value aggregates over the surviving run only (ord > boundary)
+        first(col("_last_kind")).as("kind"),
+        (sum(col("_mismatch")) + first(col("_cross_mm"))).as("mismatches"),
+        max_by(col("sidx"), col("ord")).as("_fidx"),
         sum(when(surviving, col("v"))).as("_sum"),
         count(when(surviving, lit(1))).as("m_count"),
         max_by(when(surviving, col("v")), when(surviving, col("ord"))).as("_last"),
@@ -131,7 +221,7 @@ object Metricalize {
         col("name"), col("tags"), col("kind"),
         when(col("kind") === "gauge", col("_last")).otherwise(col("_sum")).as("m_sum"),
         col("m_count"),
-        when(col("kind") === "histogram", col("_hb"))
+        when(col("kind") === "histogram", perSpecBuckets(specs, ladder))
           .otherwise(array().cast("array<bigint>")).as("m_buckets"),
         col("mismatches"))
   }
@@ -159,35 +249,21 @@ object Metricalize {
       ordCol: Column,
       watermark: String = "10 minutes"): DataFrame = {
     require(specs.nonEmpty, "at least one MetricSpec")
-    val ladder = specs.flatMap(_.buckets).distinct.sorted
-    val specStructs = specs.zipWithIndex.map { case (sp, i) =>
-      val raw = extract(propsCol, sp.valuePath)
-      val v =
-        if (sp.kind == "counter" && !sp.incrementByValue)
-          when(raw.isNotNull, lit(1.0)).otherwise(lit(null).cast("double"))
-        else raw.cast("double")
-      val tags =
-        if (sp.tagPaths.isEmpty) map().cast("map<string,string>")
-        else map_filter(
-          map(sp.tagPaths.toSeq.sortBy(_._1).flatMap { case (k, p) =>
-            Seq(lit(k), extract(propsCol, p))
-          }: _*),
-          (_, tv) => tv.isNotNull)
-      struct(lit(sp.name).as("name"), tags.as("tags"), lit(sp.kind).as("kind"),
-        v.as("v"), (ordCol.cast("long") * specs.length + i).as("ord"))
-    }
+    val ladder = unionLadder(specs)
     df
       .withColumn("_ts", col(tsCol))
       .withWatermark("_ts", watermark)
-      .select(col("_ts"), explode(array(specStructs: _*)).as("_m"))
+      .select(col("_ts"), explode(array(specStructs(propsCol, specs, ordCol): _*)).as("_m"))
       .select(col("_ts"), col("_m.name").as("name"), col("_m.tags").as("tags"),
-        col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"))
+        col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"),
+        col("_m.sidx").as("sidx"))
       .filter(col("v").isNotNull)
       .withColumn("skey", TagOps.canonicalTags(col("tags")))
       .groupBy(window(col("_ts"), s"$bucketSec seconds").as("w"),
         col("name"), col("skey"), col("kind"))
       .agg(
         first(col("tags")).as("tags"),
+        max_by(col("sidx"), col("ord")).as("_fidx"),
         sum(col("v")).as("_sum"),
         count(lit(1)).as("m_count"),
         max_by(col("v"), col("ord")).as("_last"),
@@ -199,19 +275,23 @@ object Metricalize {
         col("name"), col("tags"), col("kind"),
         when(col("kind") === "gauge", col("_last")).otherwise(col("_sum")).as("m_sum"),
         col("m_count"),
-        when(col("kind") === "histogram", col("_hb"))
+        when(col("kind") === "histogram", perSpecBuckets(specs, ladder))
           .otherwise(array().cast("array<bigint>")).as("m_buckets"))
   }
 
   /** Per-spec count of rows whose value extraction failed (the
-    * `metricalize_failed_total` counter, metricalize.rs:210-215).
+    * `metricalize_failed_total` counter, metricalize.rs:210-215). ONE source
+    * scan for all specs (struct-array explode), like [[metricalize]] itself —
+    * a per-spec union would re-scan the source once per spec.
     */
-  def extractionFailures(df: DataFrame, propsCol: String, specs: Seq[MetricSpec]): DataFrame =
-    specs.map { sp =>
+  def extractionFailures(df: DataFrame, propsCol: String, specs: Seq[MetricSpec]): DataFrame = {
+    val structs = specs.map { sp =>
       val raw = extract(propsCol, sp.valuePath)
       val v = if (sp.kind == "counter" && !sp.incrementByValue) raw else raw.cast("double")
-      df.select(lit(sp.name).as("name"),
-        when(v.isNull, 1L).otherwise(0L).as("_f"))
-    }.reduce(_ unionByName _)
-      .groupBy(col("name")).agg(sum(col("_f")).as("failures"))
+      struct(lit(sp.name).as("name"), when(v.isNull, 1L).otherwise(0L).as("f"))
+    }
+    df.select(explode(array(structs: _*)).as("_m"))
+      .groupBy(col("_m.name").as("name"))
+      .agg(sum(col("_m.f")).as("failures"))
+  }
 }

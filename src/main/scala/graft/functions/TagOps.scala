@@ -154,14 +154,25 @@ object TagOps {
     fused(tags, argsArr)
   }
 
+  /** Escape the canonical-string metacharacters inside a key/value: '\', '='
+    * and ',' get a backslash prefix, so [[canonicalTags]] is INJECTIVE — a
+    * value containing "1,b=2" can no longer collide with a second tag (tag
+    * values with commas are reachable: PromText parses quoted label values).
+    */
+  private def escCanonical(c: Column): Column =
+    regexp_replace(c, "([\\\\=,])", "\\\\$1")
+
   /** Canonical sorted "k=v,k=v" form — the tags half of a series identity
     * (BTreeMap iteration order in the reference; prometheus.rs:155-165 sorts
-    * labels the same way before encoding).
+    * labels the same way before encoding). Sort order is on the RAW keys;
+    * keys/values are escaped ('\' '=' ',' → backslash-prefixed) so the string
+    * is injective and safe as an exact grouping key. Tags without those
+    * metacharacters render exactly as before.
     */
   def canonicalTags(tags: Column): Column =
     array_join(
       transform(array_sort(map_entries(tags)),
-        e => concat(e("key"), lit("="), e("value"))),
+        e => concat(escCanonical(e("key")), lit("="), escCanonical(e("value")))),
       ",")
 
   /** 64-bit series identity over (name, sorted tags) — the shuffle/join key

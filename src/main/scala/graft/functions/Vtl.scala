@@ -237,11 +237,14 @@ object Vtl {
   def parseRegex(c: Column, pattern: String): Column = {
     val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
       .findAllMatchIn(pattern).map(_.group(1)).toSeq
-    val compiled = pattern // captured as string; compiled lazily in the UDF
+    // compiled ONCE here on the driver; java.util.regex.Pattern is
+    // serializable, so the compiled form ships inside the UDF closure and
+    // every task reuses it (compiling per row was a real hot-path cost)
+    val compiled = java.util.regex.Pattern.compile(pattern)
     val re = udf { (s: String) =>
       if (s == null) null
       else {
-        val m = java.util.regex.Pattern.compile(compiled).matcher(s)
+        val m = compiled.matcher(s)
         if (!m.find()) null
         else names.flatMap(n =>
           Option(try m.group(n) catch { case _: IllegalArgumentException => null })

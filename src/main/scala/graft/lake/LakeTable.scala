@@ -70,9 +70,7 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     // values would run the whole upstream pipeline a second time.)
     val stagingName = s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     val staging = s"$basePath/$tier/$stagingName"
-    val filtered =
-      if (committed.isEmpty) df
-      else df.filter(!col(partCol).cast("string").isin(committed.toSeq: _*))
+    val filtered = resumeFilter(df, committed)
     filtered.write.mode("overwrite").partitionBy(partCol).parquet(staging)
 
     val stagedDirs = fs.listStatus(new Path(staging)).iterator
@@ -125,6 +123,22 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     }
     todo
   }
+
+  /** Resume filter as a broadcast LEFT ANTI join against the (small)
+    * committed-partitions frame: at 10⁵ committed partitions an isin(...)
+    * predicate is a 10⁵-element In the planner must carry and codegen; the
+    * anti join is one broadcast hash probe per row.
+    */
+  private[graft] def resumeFilter(df: DataFrame, committed: Set[String]): DataFrame =
+    if (committed.isEmpty) df
+    else {
+      val committedDf = spark.createDataFrame(
+        java.util.Arrays.asList(committed.toSeq.sorted.map(org.apache.spark.sql.Row(_)): _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("_committed_part", org.apache.spark.sql.types.StringType))
+      df.join(broadcast(committedDf),
+        col(partCol).cast("string") === col("_committed_part"), "left_anti")
+    }
 
   private def commitManifest(partition: String, json: String): Unit = {
     fs.mkdirs(new Path(manifestDir))

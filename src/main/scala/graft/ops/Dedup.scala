@@ -139,9 +139,13 @@ object Dedup {
     * Jaccard >= threshold. Joins back to texts (two broadcast-able joins at
     * small scale; sort-merge on doc id at large scale).
     *
-    * The skew guard is audited, not silent: the bucket frame is persisted,
-    * oversize buckets are counted in one cheap action, and the census is
-    * logged before pair generation proceeds on the surviving buckets.
+    * The skew guard is audited, not silent: oversize buckets are counted in
+    * one dedicated action and logged before pair generation proceeds on the
+    * surviving buckets. The audit pass recomputes the bucket frame rather
+    * than caching it — a persisted frame with no safe unpersist point would
+    * leak executor storage for the rest of the session (callers who want to
+    * pay memory instead of a second pass can persist/unpersist around
+    * [[minhashBuckets]] + [[candidatesFromBuckets]] themselves).
     */
   def minhashDedup(
       df: DataFrame,
@@ -151,19 +155,16 @@ object Dedup {
       maxBucket: Int = 64,
       auditDropped: Boolean = true): DataFrame = {
     val buckets = minhashBuckets(df, idCol, textCol)
-    val cands =
-      if (!auditDropped) candidatesFromBuckets(buckets, maxBucket)
-      else {
-        val cached = buckets.persist()
-        val census = droppedBuckets(cached, maxBucket)
-          .agg(count(lit(1)), coalesce(sum(col("bucket_size")), lit(0L))).head()
-        val (nDropped, docsDropped) = (census.getLong(0), census.getLong(1))
-        if (nDropped > 0)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"minhash LSH skew guard dropped $nDropped buckets > $maxBucket docs " +
-              s"(${docsDropped} doc slots) — dup-dense buckets excluded from pair generation")
-        candidatesFromBuckets(cached, maxBucket)
-      }
+    if (auditDropped) {
+      val census = droppedBuckets(buckets, maxBucket)
+        .agg(count(lit(1)), coalesce(sum(col("bucket_size")), lit(0L))).head()
+      val (nDropped, docsDropped) = (census.getLong(0), census.getLong(1))
+      if (nDropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"minhash LSH skew guard dropped $nDropped buckets > $maxBucket docs " +
+            s"(${docsDropped} doc slots) — dup-dense buckets excluded from pair generation")
+    }
+    val cands = candidatesFromBuckets(buckets, maxBucket)
     val sh = df.select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
     cands
       .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

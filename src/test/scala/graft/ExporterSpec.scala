@@ -114,6 +114,25 @@ class ExporterSpec extends AnyFunSuite {
       """live{k="1"} 1.0"""))
   }
 
+  test("assignBatches keeps null-ts rows and packs them first (nulls-first order)") {
+    val df = Seq((Option(100L), 1L), (None, 2L), (Option(50L), 3L), (None, 4L))
+      .toDF("ts", "seq").withColumn("tenant", lit("t"))
+    val got = Exporter.assignBatches(df, "tenant", "ts", "seq", maxEvents = 2)
+      .select($"seq", $"batch_id").as[(Long, Long)].collect().toMap
+    // order: null ts first by seq (2, 4), then ts 50 (3), then 100 (1)
+    assert(got == Map(2L -> 0L, 4L -> 0L, 3L -> 1L, 1L -> 1L), got.toString)
+  }
+
+  test("label values with quote/backslash/newline escape on render and roundtrip the parser") {
+    val tricky = Map("a" -> "x\"y", "b" -> "p\\q", "c" -> "l1\nl2")
+    val df = Seq(("m", tricky, 1.0)).toDF("name", "tags", "value")
+    val line = Exporter.renderText(df).as[String].head()
+    assert(!line.contains('\n'), s"unescaped newline breaks the line protocol: $line")
+    val parsed = graft.sources.PromText.parseLine(line)
+    assert(parsed.exists(p => p.name == "m" && p.labels == tricky && p.value == 1.0),
+      s"roundtrip failed: $line -> $parsed")
+  }
+
   test("renderText: lines ordered by (name, canonical labels), exposition shape") {
     val rows = Seq(
       ("metric_b", Map("h" -> "1"), 2.0),

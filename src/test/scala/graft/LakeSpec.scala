@@ -59,6 +59,19 @@ class LakeSpec extends AnyFunSuite {
     assert(dropped.size == 500 && lake.read().count() == 5000)
   }
 
+  test("resume filter at 10k committed partitions is an anti join, not a 10k-element In") {
+    import spark.implicits._
+    val lake = new LakeTable(spark, tmpDir(), "wide", "pk")
+    val committed = (0 until 10000).map(_.toString).toSet
+    val df = spark.range(20000).select(col("id").cast("string").as("pk"), col("id").as("v"))
+    val filtered = lake.resumeFilter(df, committed)
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti join, got:\n$plan")
+    assert(!plan.contains(" IN ("), "plan still carries a giant In predicate")
+    assert(filtered.count() == 10000)
+    assert(filtered.agg(min(col("pk").cast("long"))).as[Long].head() == 10000L)
+  }
+
   test("kill-and-rerun: missing manifests are recomputed, committed ones skipped") {
     val base = tmpDir()
     val lake = new LakeTable(spark, base, "tier_1m", "pk")

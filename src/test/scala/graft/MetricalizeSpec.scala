@@ -108,6 +108,60 @@ class MetricalizeSpec extends AnyFunSuite {
       (60L, "b_total", 5.0, 1L), (60L, "b_gauge", 5.0, 1L)))
   }
 
+  test("kind-replay is chunk-invariant and matches a sequential replay oracle") {
+    // 60 rows, pseudo-random kind flips — replay the reference state machine
+    // sequentially in Scala, then demand identical output at every chunking
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map { i =>
+      val kind = if (rnd.nextInt(3) == 0) "gauge" else "counter"
+      (i.toLong, i.toDouble, kind)
+    }
+    val df = rows.toDF("id", "v", "k")
+      .withColumn("props", when($"k" === "counter",
+        format_string("""{"c": %s}""", $"v")).otherwise(format_string("""{"g": %s}""", $"v")))
+    val specs = Seq(MetricSpec("m", "counter", "$.c"), MetricSpec("m", "gauge", "$.g"))
+    // sequential oracle (metricalize.rs:233-248 reset semantics)
+    var mm = 0L
+    var prev: Option[String] = None
+    var run = Seq.empty[Double]
+    rows.foreach { case (_, v, k) =>
+      if (prev.exists(_ != k)) { mm += 1; run = Seq.empty }
+      prev = Some(k); run :+= v
+    }
+    val finalKind = rows.last._3
+    val expSum = if (finalKind == "gauge") run.last else run.sum
+    for (nc <- Seq(1, 3, 7, 64)) {
+      val out = Metricalize.metricalize(df, "props", specs, col("id"), numChunks = nc)
+        .select($"kind", $"m_sum", $"m_count", $"mismatches")
+        .as[(String, Double, Long, Long)].head()
+      assert(out == ((finalKind, expSum, run.size.toLong, mm)), s"numChunks=$nc: $out")
+    }
+  }
+
+  test("two histogram specs keep their own bucket ladders (no union-ladder leak)") {
+    val df = Seq((1L, """{"x": 5, "y": 15}"""), (2L, """{"x": 40, "y": 25}"""))
+      .toDF("id", "props")
+    val out = Metricalize.metricalize(df, "props",
+      Seq(
+        MetricSpec("hx", "histogram", "$.x", buckets = Seq(10.0, 50.0)),
+        MetricSpec("hy", "histogram", "$.y", buckets = Seq(20.0))),
+      col("id"))
+      .select($"name", $"m_buckets").as[(String, Seq[Long])].collect().toMap
+    assert(out("hx") == Seq(1L, 2L), s"hx: ${out("hx")}") // x=5,40: <=10 -> 1, <=50 -> 2
+    assert(out("hy") == Seq(1L), s"hy: ${out("hy")}") // y=15,25: <=20 -> 1; NOT 3 rungs
+  }
+
+  test("ord outside the packed range raises instead of overflowing silently") {
+    val df = Seq((Long.MaxValue / 2 + 1, """{"v": 1}""")).toDF("id", "props")
+    // the guard fires on the first action over the packed ord — which is the
+    // chunk-stats reduce inside metricalize itself
+    assertThrows[Exception] {
+      Metricalize.metricalize(df, "props",
+        Seq(MetricSpec("a", "counter", "$.v"), MetricSpec("b", "gauge", "$.v")),
+        col("id")).collect()
+    }
+  }
+
   test("extraction failures are counted per spec") {
     val out = Metricalize.extractionFailures(logs, "props",
       Seq(MetricSpec("bytes_total", "counter", "$.bytes"),

@@ -113,4 +113,21 @@ class TagOpsSpec extends AnyFunSuite {
     assert(a == b, s"$a vs $b")
     assert(a.head("app") == "web-app" && a.head("env") == "prod")
   }
+
+  test("canonicalTags is injective: metacharacters in values cannot fake extra tags") {
+    // {a:"1,b=2"} vs {a:"1", b:"2"} collided before escaping — distinct series
+    // merged under one skey (comma-valued labels are reachable via PromText)
+    val df = Seq(
+      (1, Map("a" -> "1,b=2")),
+      (2, Map("a" -> "1", "b" -> "2")),
+      (3, Map("a" -> "1\\", "b" -> "2")), // trailing backslash must not eat the comma
+      (4, Map("a=x" -> "1"))) // '=' in a key
+      .toDF("id", "tags")
+    val keys = df.select(TagOps.canonicalTags(col("tags"))).as[String].collect()
+    assert(keys.distinct.length == 4, s"collision: ${keys.mkString(" | ")}")
+    // metacharacter-free tags render exactly as before (sorted k=v,k=v)
+    val plain = Seq(Tuple1(Map("z" -> "1", "a" -> "2"))).toDF("tags")
+      .select(TagOps.canonicalTags(col("tags"))).as[String].head()
+    assert(plain == "a=2,z=1")
+  }
 }
