@@ -67,7 +67,7 @@ object SparkEntry {
     "q29_simhash_pairs" -> (MoreQueries.simhashPairs _),
     "q30_ann_lsh" -> (MoreQueries.annLsh _),
     "q31_gorilla_pages" -> (MoreQueries.gorillaPages _),
-    "q32_multimodal_stub" -> (MoreQueries.multimodalStub _),
+    "q32_multimodal_decode" -> (MoreQueries.multimodalDecode _),
     // —— batch 3: joins + text-format ingestion ——
     "q33_asof_join" -> (MoreQueries.asofJoin _),
     "q34_enrich_join" -> (MoreQueries.enrichJoin _),
@@ -85,7 +85,11 @@ object SparkEntry {
     "q45_pushgateway_grouping" -> (TagQueries.pushgatewayGrouping _),
     // rows-only (hash-bucketed ANN not DuckDB-reproducible; recall is
     // ScalaTest-verified against brute force)
-    "q46_ann_multiprobe" -> (MoreQueries.annMultiProbe _)
+    "q46_ann_multiprobe" -> (MoreQueries.annMultiProbe _),
+    // —— batch 5 (round 3): enforcement modes + range lookup + self-telemetry ——
+    "q47_cardinality_droptag" -> (MoreQueries.cardinalityDropTag _),
+    "q48_geoip_range" -> (MoreQueries.geoipRange _),
+    "q49_internal_metrics" -> (MoreQueries.internalMetricsCensus _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,6 +308,45 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q43_exporter_expo" -> TagQueries.exporterExpoOracle,
     "q44_parse_query_url" -> TagQueries.parseQueryUrlOracle,
-    "q45_pushgateway_grouping" -> TagQueries.pushgatewayGroupingOracle
+    "q45_pushgateway_grouping" -> TagQueries.pushgatewayGroupingOracle,
+    "q32_multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    doc_id % 7 = 0 AS bad
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_media,
+        |  sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_malformed,
+        |  sum(CASE WHEN NOT bad AND kind = 'image' THEN doc_id % 640 + 1 ELSE 0 END)::BIGINT AS sum_width,
+        |  sum(CASE WHEN NOT bad AND kind = 'image' THEN doc_id % 480 + 1 ELSE 0 END)::BIGINT AS sum_height,
+        |  sum(CASE WHEN NOT bad AND kind = 'audio' THEN 8000 * (doc_id % 5 + 1) ELSE 0 END)::BIGINT AS sum_rate,
+        |  sum(CASE WHEN NOT bad AND kind = 'audio'
+        |      THEN ((doc_id % 100 + 1) * 1024 * 1000) // (8000 * (doc_id % 5 + 1) * (doc_id % 2 + 1) * 2)
+        |      ELSE 0 END)::BIGINT AS sum_duration_ms
+        |FROM m GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q47_cardinality_droptag" ->
+      """WITH fu AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY 1),
+        |rk AS (SELECT user_id, row_number() OVER (ORDER BY fts) AS rn FROM fu)
+        |SELECT CASE WHEN rk.rn <= 30 THEN 'type=' || e.event_type || ',user=' || e.user_id
+        |            ELSE 'type=' || e.event_type END AS series,
+        |  count(*) AS cnt
+        |FROM events e JOIN rk ON e.user_id = rk.user_id
+        |GROUP BY 1 ORDER BY series""".stripMargin,
+    "q48_geoip_range" ->
+      """WITH r AS (SELECT n_name AS geo,
+        |             n_nationkey::BIGINT * 16777216 AS lo,
+        |             n_nationkey::BIGINT * 16777216 + (n_nationkey % 8 + 1) * 1048576 - 1 AS hi
+        |           FROM nation),
+        |e AS (SELECT (user_id % 25)::BIGINT * 16777216 + (user_id::BIGINT * 9973) % 16777216 AS ip,
+        |             value
+        |      FROM events)
+        |SELECT coalesce(r.geo, 'unknown') AS geo, count(*) AS cnt,
+        |  round(sum(e.value), 4) AS sum_v
+        |FROM e LEFT JOIN r ON e.ip BETWEEN r.lo AND r.hi
+        |GROUP BY 1 ORDER BY geo""".stripMargin,
+    "q49_internal_metrics" ->
+      """SELECT 'events_lake' AS table_name, 'event_type=' || event_type AS part,
+        | count(*) AS n_rows
+        |FROM events GROUP BY 2 ORDER BY part""".stripMargin
   )
 }

@@ -256,12 +256,69 @@ object Vtl {
 
   // ---- parse_user_agent (function/parse_user_agent.rs) ----
 
-  /** User-agent → map(browser.family, browser.version, os.family,
+  /** One ordered classification rule of the woothee-subset ruleset: a
+    * substring trigger, the family name, the token whose "token/1.2.3" (or
+    * "token 1.2.3") suffix carries the version, and the device category.
+    */
+  private final case class UaRule(trigger: String, family: String,
+      versionToken: String, category: String)
+
+  /** Table-driven subset of the public woothee ruleset (the dataset the
+    * reference's parse_user_agent delegates to via the woothee crate,
+    * parse_user_agent.rs:55-66). Rule ORDER is the woothee classification
+    * order: crawlers first, then vendor browsers before the Chrome/Safari
+    * fallthrough (every Chromium vendor ships "Chrome/… Safari/…" in its UA),
+    * then HTTP tools. Category vocabulary: pc / smartphone / crawler / misc.
+    */
+  private val uaBrowserRules: Seq[UaRule] = Seq(
+    // crawlers (woothee dataset/crawler.yaml subset)
+    UaRule("Googlebot", "Googlebot", "Googlebot", "crawler"),
+    UaRule("bingbot", "bingbot", "bingbot", "crawler"),
+    UaRule("Baiduspider", "Baiduspider", "Baiduspider", "crawler"),
+    UaRule("YandexBot", "YandexBot", "YandexBot", "crawler"),
+    UaRule("Yahoo! Slurp", "Yahoo! Slurp", "Slurp", "crawler"),
+    // vendor Chromium browsers before Chrome
+    UaRule("Edg/", "Edge", "Edg", "pc"),
+    UaRule("Edge/", "Edge", "Edge", "pc"),
+    UaRule("OPR/", "Opera", "OPR", "pc"),
+    UaRule("Vivaldi/", "Vivaldi", "Vivaldi", "pc"),
+    UaRule("YaBrowser/", "Yandex Browser", "YaBrowser", "pc"),
+    UaRule("SamsungBrowser/", "Samsung Internet", "SamsungBrowser", "pc"),
+    UaRule("UCBrowser/", "UC Browser", "UCBrowser", "pc"),
+    // Gecko / iOS shells
+    UaRule("FxiOS/", "Firefox", "FxiOS", "pc"),
+    UaRule("Firefox/", "Firefox", "Firefox", "pc"),
+    UaRule("CriOS/", "Chrome", "CriOS", "pc"),
+    UaRule("Chromium/", "Chromium", "Chromium", "pc"),
+    UaRule("Chrome/", "Chrome", "Chrome", "pc"),
+    // Presto-era Opera carries "Version/x" too — classify before Safari
+    UaRule("Opera/", "Opera", "Version", "pc"),
+    // Safari only after every Chromium vendor (they all carry "Safari/")
+    UaRule("Version/", "Safari", "Version", "pc"),
+    UaRule("MSIE ", "Internet Explorer", "MSIE", "pc"),
+    UaRule("Trident/", "Internet Explorer", "rv", "pc"),
+    // HTTP tools (woothee "misc" category)
+    UaRule("curl/", "curl", "curl", "misc"),
+    UaRule("Wget/", "wget", "Wget", "misc"),
+    UaRule("python-requests/", "python-requests", "python-requests", "misc"),
+    UaRule("Go-http-client/", "Go-http-client", "Go-http-client", "misc"),
+    UaRule("okhttp/", "okhttp", "okhttp", "misc"))
+
+  /** Windows NT marketing names (woothee dataset/os.yaml subset). */
+  private val uaWindowsVersions: Seq[(String, String)] = Seq(
+    "Windows NT 10.0" -> "Windows 10",
+    "Windows NT 6.3" -> "Windows 8.1",
+    "Windows NT 6.2" -> "Windows 8",
+    "Windows NT 6.1" -> "Windows 7",
+    "Windows NT 6.0" -> "Windows Vista",
+    "Windows NT 5.1" -> "Windows XP")
+
+  /** User-agent → map(browser.family, browser.version, os.family, os.version,
     * device.category) — the reference's woothee field set
-    * (parse_user_agent.rs:60-66). The woothee ruleset isn't available here,
-    * so this is a documented heuristic covering the major engine families;
-    * unknown agents classify as ("unknown", "", "unknown", "unknown") like
-    * woothee's maybe_none does.
+    * (parse_user_agent.rs:58-66). Classification walks [[uaBrowserRules]] in
+    * order; OS detection then refines the category (Android/iOS → smartphone,
+    * crawlers stay crawlers). Unknown agents classify as
+    * ("unknown", "", "unknown", "", "unknown") like woothee's maybe_none.
     */
   private val uaUdf = udf { (s: String) =>
     if (s == null) null
@@ -269,37 +326,44 @@ object Vtl {
       val ua = s
       def ver(token: String): String = {
         val m = java.util.regex.Pattern.compile(
-          java.util.regex.Pattern.quote(token) + "[/ ]([0-9][0-9.]*)").matcher(ua)
+          java.util.regex.Pattern.quote(token) + "[/: ]([0-9][0-9._]*)").matcher(ua)
         if (m.find()) m.group(1) else ""
       }
-      val bot = ua.toLowerCase.contains("bot") || ua.toLowerCase.contains("crawler") ||
-        ua.toLowerCase.contains("spider")
-      val (bf, bv) =
-        if (bot) ("crawler", "")
-        else if (ua.contains("Edg/") || ua.contains("Edge/")) ("Edge", if (ua.contains("Edg/")) ver("Edg") else ver("Edge"))
-        else if (ua.contains("OPR/")) ("Opera", ver("OPR"))
-        else if (ua.contains("Firefox/")) ("Firefox", ver("Firefox"))
-        else if (ua.contains("Chrome/")) ("Chrome", ver("Chrome"))
-        else if (ua.contains("Safari/") && ua.contains("Version/")) ("Safari", ver("Version"))
-        else if (ua.contains("MSIE ")) ("Internet Explorer", ver("MSIE"))
-        else if (ua.contains("curl/")) ("curl", ver("curl"))
-        else if (ua.contains("Wget/")) ("wget", ver("Wget"))
+      val rule = uaBrowserRules.find(r => ua.contains(r.trigger))
+      val (bf, bv, cat0) = rule match {
+        case Some(r) =>
+          val v = if (r.trigger == "Trident/") {
+            val rv = ver("rv"); if (rv.isEmpty) "11.0" else rv
+          } else ver(r.versionToken)
+          (r.family, v, r.category)
+        case None => ("unknown", "", "unknown")
+      }
+      val isCrawler = cat0 == "crawler" ||
+        ua.toLowerCase.contains("crawler") || ua.toLowerCase.contains("spider") ||
+        ua.toLowerCase.contains("bot/") || ua.toLowerCase.endsWith("bot")
+      val (osf, osv) =
+        if (ua.contains("Windows"))
+          uaWindowsVersions.find(w => ua.contains(w._1))
+            .map(w => (w._2, w._1.stripPrefix("Windows ")))
+            .getOrElse(("Windows UNKNOWN Ver", ""))
+        else if (ua.contains("Android")) ("Android", ver("Android"))
+        else if (ua.contains("iPhone OS")) ("iOS", ver("iPhone OS").replace('_', '.'))
+        else if (ua.contains("iPad")) ("iOS", ver("CPU OS").replace('_', '.'))
+        else if (ua.contains("Mac OS X"))
+          ("Mac OSX", ver("Mac OS X").replace('_', '.'))
+        else if (ua.contains("CrOS")) ("ChromeOS", "")
+        else if (ua.contains("Linux")) ("Linux", "")
         else ("unknown", "")
-      val os =
-        if (bot) "unknown"
-        else if (ua.contains("Android")) "Android"
-        else if (ua.contains("iPhone") || ua.contains("iPad")) "iOS"
-        else if (ua.contains("Windows")) "Windows"
-        else if (ua.contains("Mac OS X")) "Mac OSX"
-        else if (ua.contains("Linux")) "Linux"
-        else "unknown"
-      val device =
-        if (bot) "crawler"
-        else if (os == "Android" || os == "iOS") "smartphone"
-        else if (bf == "unknown") "unknown"
+      val category =
+        if (isCrawler) "crawler"
+        else if (osf == "Android" || osf == "iOS") "smartphone"
+        else if (cat0 == "misc") "misc"
+        else if (bf == "unknown" && osf == "unknown") "unknown"
         else "pc"
       Map("browser.family" -> bf, "browser.version" -> bv,
-        "os.family" -> os, "device.category" -> device)
+        "os.family" -> (if (isCrawler && osf == "unknown") "unknown" else osf),
+        "os.version" -> osv,
+        "device.category" -> category)
     }
   }
   def parseUserAgent(c: Column): Column = uaUdf(c)

@@ -64,6 +64,7 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     * deterministic for resume to be byte-stable.
     */
   def append(df: DataFrame, lineage: String): Seq[String] = {
+    val appendStart = System.nanoTime()
     val committed = committedPartitions()
     // Single pipeline pass: stage everything uncommitted, then promote staged
     // partition dirs by rename. (A distinct() pre-pass to discover partition
@@ -107,22 +108,43 @@ final class LakeTable(spark: SparkSession, basePath: String, tier: String, partC
     }.toMap
 
     parMap(todo) { p =>
-      val files = {
+      val stats = {
         val d = new Path(s"$dataDir/$partCol=$p")
         if (fs.exists(d))
-          fs.listStatus(d).iterator.map(_.getPath.getName)
-            .filter(_.endsWith(".parquet")).toSeq.sorted
+          fs.listStatus(d).iterator
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(s => s.getPath.getName -> s.getLen).toSeq.sortBy(_._1)
         else Seq.empty
       }
+      // per-append METRICS committed beside the data (the internal_metrics /
+      // selfstat analog, /root/reference/src/sources/internal_metrics.rs):
+      // rows, bytes, file census and append wall time, queryable via
+      // internalMetrics()
+      val wallMs = (System.nanoTime() - appendStart) / 1000000L
       val manifest =
         s"""{"table":"$tier","partition":"$partCol=$p","rows":${counts.getOrElse(p, 0L)},
-           |"files":[${files.map(f => "\"" + f + "\"").mkString(",")}],
+           |"bytes":${stats.map(_._2).sum},"n_files":${stats.size},"wall_ms":$wallMs,
+           |"files":[${stats.map(f => "\"" + f._1 + "\"").mkString(",")}],
            |"lineage":"${lineage.replace("\"", "'")}",
            |"committed_at":"${java.time.Instant.now()}"}""".stripMargin.replace("\n", "")
       commitManifest(p, manifest)
     }
     todo
   }
+
+  /** The pipeline's own telemetry as a DataFrame — one row per committed
+    * partition with rows/bytes/files/wall-ms and lineage, read straight from
+    * the manifest JSONs (the queryable internal_metrics surface; uncommitted
+    * tmp manifests are dot-files and invisible to the reader).
+    */
+  def internalMetrics(): DataFrame =
+    spark.read.json(manifestDir)
+      .select(col("table").as("table_name"), col("partition").as("part"),
+        col("rows").cast("long").as("n_rows"),
+        col("bytes").cast("long").as("n_bytes"),
+        col("n_files").cast("long").as("n_files"),
+        col("wall_ms").cast("long").as("wall_ms"),
+        col("lineage"), col("committed_at"))
 
   /** Resume filter as a broadcast LEFT ANTI join against the (small)
     * committed-partitions frame: at 10⁵ committed partitions an isin(...)

@@ -4,74 +4,191 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder-prompt first-class op): media payloads
-  * travel as opaque `binary` columns with a typed metadata struct; decode /
-  * feature-extract runs as a partition-batched typed transform.
+  * travel as opaque `binary` columns; decode / feature-extract runs as a
+  * partition-batched typed transform with REAL format parsers.
   *
-  * The actual media decode is STUBBED (no image/audio libs in this container,
-  * per the builder prompt): `decodeStub` produces deterministic fake features
-  * from the bytes. Everything around it — schema, partition batching, the
-  * Dataset[MediaRow] → Dataset[MediaFeatures] signature, and the downstream
-  * aggregation — is real Spark and tested. Swap `decodeStub` for a real
-  * decoder (e.g. a Pandas UDF via mapInPandas on the Python side, or a JNI
-  * codec here) without touching the pipeline.
+  * The decoders parse two self-describing public formats byte-for-byte (no
+  * codec libraries exist in this container, so the formats are ones whose
+  * headers fully describe the media):
+  *  - BMP (BITMAPINFOHEADER): magic "BM", little-endian width/height at
+  *    offsets 18/22, bits-per-pixel at 28 — the public Windows DIB layout
+  *  - WAV (RIFF/WAVE, PCM "fmt " chunk): channels/sample-rate/byte-rate at
+  *    offsets 22/24/28, "data" chunk size at 40 → duration = size/byte-rate
+  * Malformed payloads (wrong magic, truncated header, zero byte rate) are
+  * COUNTED per batch, never thrown — at 100 TB a poison row must not kill
+  * the stage.
+  *
+  * Scale shape: payload synthesis and the downstream aggregate are codegen'd
+  * Catalyst; only the byte-level header parse runs in `mapPartitions` (one
+  * decoder init per partition — the same batching contract a Pandas-UDF
+  * image decoder would have).
   */
 object Multimodal {
 
   final case class MediaRow(
       media_id: Long,
-      kind: String, // "image" | "audio" | "video"
-      payload: Array[Byte], // opaque encoded bytes
-      width: Int,
-      height: Int,
-      sample_rate: Int)
+      kind: String, // "image" | "audio"
+      payload: Array[Byte]) // opaque encoded bytes
 
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
+      ok: Boolean, // header parsed
+      width: Int, // BMP: pixel width (0 for audio/malformed)
+      height: Int, // BMP: pixel height
+      bpp: Int, // BMP: bits per pixel
+      sample_rate: Int, // WAV: samples/sec (0 for image/malformed)
+      channels: Int, // WAV
+      duration_ms: Long, // WAV: data size / byte rate
       n_bytes: Long,
-      fingerprint: Long,
-      feature: Array[Float], // stub "embedding"
       batch_size: Int) // rows seen by this decode batch (proves batching)
 
-  /** STUB decode: deterministic features from the payload bytes — stands in
-    * for image decode / resize / frame-sample. Real implementation would
-    * decode `payload` per `kind`; the Spark-side contract is identical.
+  // ---- byte helpers (all formats here are little-endian) ----
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    var i = 0
+    while (i < 4) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+
+  // ---- encoders (used by the deterministic payload synthesizer) ----
+
+  /** Minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, no
+    * pixel data (dataOffset points past the header; decoders that only read
+    * dimensions — ours — don't need pixels).
     */
-  private def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+  def encodeBmp(width: Int, height: Int, bpp: Int): Array[Byte] = {
+    val b = new Array[Byte](54)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, 54) // file size
+    putLe32(b, 10, 54) // pixel data offset
+    putLe32(b, 14, 40) // DIB header size (BITMAPINFOHEADER)
+    putLe32(b, 18, width)
+    putLe32(b, 22, height)
+    putLe16(b, 26, 1) // planes
+    putLe16(b, 28, bpp)
+    b
+  }
+
+  /** Minimal valid PCM WAV: RIFF/WAVE + 16-byte "fmt " + empty "data" chunk
+    * whose declared size gives the duration.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, dataSize: Int): Array[Byte] = {
+    val b = new Array[Byte](44)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, 36 + dataSize)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 16) // fmt chunk size
+    putLe16(b, 20, 1) // PCM
+    putLe16(b, 22, channels)
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, sampleRate * channels * 2) // byte rate (16-bit samples)
+    putLe16(b, 32, channels * 2) // block align
+    putLe16(b, 34, 16) // bits per sample
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putLe32(b, 40, dataSize)
+    b
+  }
+
+  // ---- decoders ----
+
+  /** Parse a BMP header: Some((width, height, bpp)) or None if malformed. */
+  def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b == null || b.length < 30 || b(0) != 'B' || b(1) != 'M') None
+    else {
+      val w = le32(b, 18); val h = le32(b, 22); val bpp = le16(b, 28)
+      if (w <= 0 || h == 0 || bpp <= 0) None else Some((w, h, bpp))
+    }
+
+  /** Parse a WAV header: Some((sampleRate, channels, durationMs)) or None. */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Long)] =
+    if (b == null || b.length < 44 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E' ||
+      b(12) != 'f' || b(13) != 'm' || b(14) != 't' || b(15) != ' ') None
+    else {
+      val channels = le16(b, 22)
+      val rate = le32(b, 24)
+      val byteRate = le32(b, 28)
+      val dataSize = le32(b, 40).toLong & 0xffffffffL
+      if (rate <= 0 || channels <= 0 || byteRate <= 0) None
+      else Some((rate, channels, dataSize * 1000L / byteRate))
+    }
+
+  /** Partition-batched decode: one pass, per-kind header parse, malformed
+    * rows flagged `ok = false` (counted downstream, never thrown).
+    */
+  def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
     val batch = rows.toArray // partition-batch: one decoder init per partition
     val bs = batch.length
     batch.iterator.map { r =>
-      var h = 1469598103934665603L // FNV-1a over payload
-      var i = 0
-      while (i < r.payload.length) { h = (h ^ (r.payload(i) & 0xff)) * 1099511628211L; i += 1 }
-      val feat = Array.tabulate(8)(j => ((h >>> (j * 8)) & 0xff).toFloat / 255f)
-      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, h, feat, bs)
+      val n = if (r.payload == null) 0L else r.payload.length.toLong
+      r.kind match {
+        case "image" => decodeBmp(r.payload) match {
+          case Some((w, h, bpp)) =>
+            MediaFeatures(r.media_id, r.kind, ok = true, w, h, bpp, 0, 0, 0L, n, bs)
+          case None =>
+            MediaFeatures(r.media_id, r.kind, ok = false, 0, 0, 0, 0, 0, 0L, n, bs)
+        }
+        case _ => decodeWav(r.payload) match {
+          case Some((rate, ch, durMs)) =>
+            MediaFeatures(r.media_id, r.kind, ok = true, 0, 0, 0, rate, ch, durMs, n, bs)
+          case None =>
+            MediaFeatures(r.media_id, r.kind, ok = false, 0, 0, 0, 0, 0, 0L, n, bs)
+        }
+      }
     }
   }
 
-  /** Build a deterministic media table from `documents` (text bytes as the
-    * opaque payload) and run the decode pipeline: binary column in, typed
-    * features out, then a per-kind aggregate.
+  /** Deterministic media table derived from `documents`: even doc_ids carry a
+    * real BMP, odd ones a real WAV, and every 7th payload is deliberately
+    * malformed (truncated garbage). All parameters are doc_id arithmetic so a
+    * SQL oracle can recompute the expected dimensions.
     */
-  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    val media: Dataset[MediaRow] = spark.read.parquet(s"$dir/documents.parquet")
+    val enc = udf { (id: Long) =>
+      if (id % 7 == 0) "XX".getBytes ++ Array.tabulate(8)(i => (id + i).toByte)
+      else if (id % 2 == 0)
+        encodeBmp((id % 640).toInt + 1, (id % 480).toInt + 1, 24)
+      else
+        encodeWav(8000 * ((id % 5).toInt + 1), (id % 2).toInt + 1,
+          ((id % 100).toInt + 1) * 1024)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
       .select(
         col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        col("text").cast("binary").as("payload"),
-        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
-        lit(16000).as("sample_rate"))
+        when(pmod(col("doc_id"), lit(2)) === 0, "image").otherwise("audio").as("kind"),
+        enc(col("doc_id")).as("payload"))
       .as[MediaRow]
-    val features = media.mapPartitions(decodeStub)
+  }
+
+  /** End-to-end decode pipeline: binary column in, typed features out, then a
+    * per-kind census with malformed accounting — every dimension reproducible
+    * from doc_id arithmetic by the SQL oracle.
+    */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val features = mediaTable(spark, dir).mapPartitions(decode(_))(
+      org.apache.spark.sql.Encoders.product[MediaFeatures])
     features.groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        countDistinct(col("fingerprint")).as("distinct_fp"),
-        max(col("batch_size")).as("max_batch"))
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_malformed"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("sample_rate")).as("sum_rate"),
+        sum(col("duration_ms")).as("sum_duration_ms"))
       .orderBy(col("kind"))
   }
 }

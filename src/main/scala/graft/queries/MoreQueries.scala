@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.functions.Pages
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.functions.{Pages, TagOps}
+import graft.lake.LakeTable
+import graft.ops.{CardinalityLimit, Dedup, GeoIp, Multimodal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -184,9 +185,68 @@ object MoreQueries {
       .orderBy(col("series"), col("bucket"))
   }
 
-  /** Multimodal decode plumbing (stubbed decode; real batching/schema). */
-  def multimodalStub(s: SparkSession, dir: String): DataFrame =
+  /** Multimodal decode: REAL BMP/WAV header parsers over synthesized valid
+    * payloads (every 7th deliberately malformed and counted, never thrown);
+    * every extracted dimension is doc_id arithmetic, so the DuckDB oracle
+    * recomputes them exactly.
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(s, dir)
+
+  /** q47: cardinality limiter, DropTag action
+    * (/root/reference/src/transforms/cardinality.rs:262-292): events KEEP
+    * flowing, but the `user` tag is stripped from events whose user wasn't
+    * among the first 30 distinct values by first-seen time — the less
+    * destructive enforcement mode (q23 is the Drop-event mode).
+    */
+  def cardinalityDropTag(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+    val tagged = e.withColumn("tags", map(
+      lit("type"), col("event_type"),
+      lit("user"), col("user_id").cast("string")))
+    CardinalityLimit.dropTag(tagged, "tags", "user", col("ts"), limit = 30)
+      .groupBy(TagOps.canonicalTags(col("tags")).as("series"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("series"))
+  }
+
+  /** q48: geoip as a REAL range lookup (longest-prefix analog,
+    * /root/reference/src/transforms/geoip.rs:22-60): deterministic CIDR-style
+    * ranges derived from the nation dim, IPs from user_id arithmetic, one
+    * broadcast binary-search probe per event, misses → 'unknown'. (q34 stays
+    * as the equality dim-join case.)
+    */
+  def geoipRange(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+    val block = 16777216L // one /8-style block per nation
+    val ranges = s.read.parquet(s"$dir/nation.parquet").select(
+      (col("n_nationkey").cast("long") * block).as("lo"),
+      (col("n_nationkey").cast("long") * block +
+        (pmod(col("n_nationkey"), lit(8)) + 1).cast("long") * 1048576L - 1).as("hi"),
+      col("n_name").as("value"))
+    val ip = pmod(col("user_id").cast("long"), lit(25L)) * block +
+      pmod(col("user_id").cast("long") * 9973L, lit(block))
+    GeoIp.enrich(e, ip, ranges)
+      .groupBy(col("geo"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
+      .orderBy(col("geo"))
+  }
+
+  /** q49: internal-metrics surface
+    * (/root/reference/src/sources/internal_metrics.rs): append the events
+    * stream into a lake table, then read the pipeline's OWN per-partition
+    * commit telemetry (rows per partition, from parquet footers) back as a
+    * DataFrame — the oracle recomputes the expected census from the raw
+    * table.
+    */
+  def internalMetricsCensus(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_im").toString
+    val lake = new LakeTable(s, base, "events_lake", "event_type")
+    lake.append(EventQueries.events(s, dir), "events->lake census")
+    lake.internalMetrics()
+      .select(col("table_name"), col("part"), col("n_rows"))
+      .orderBy(col("part"))
+  }
 
   /** As-of join (SURVEY §2.4): every event picks up the value of the latest
     * "snapshot" event (event_id%20==0) of the same type at or before its ts —

@@ -200,10 +200,73 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("key"))
   }
 
-  test("multimodal stub pipeline: all kinds decoded, batching visible") {
+  test("multimodal decode pipeline: real BMP/WAV parses, malformed counted not thrown") {
     val out = graft.ops.Multimodal.pipeline(spark, "/root/testdata/sf0.001").collect()
-    assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    assert(out.map(_.getString(0)).toSet == Set("image", "audio"))
     assert(out.map(_.getAs[Long]("n_media")).sum > 0)
-    assert(out.forall(_.getAs[Int]("max_batch") >= 1))
+    // every-7th payloads are garbage: they must be counted, and dims must
+    // come only from the well-formed ones
+    assert(out.map(_.getAs[Long]("n_malformed")).sum > 0)
+    val img = out.find(_.getString(0) == "image").get
+    val aud = out.find(_.getString(0) == "audio").get
+    assert(img.getAs[Long]("sum_width") > 0 && img.getAs[Long]("sum_rate") == 0)
+    assert(aud.getAs[Long]("sum_rate") > 0 && aud.getAs[Long]("sum_width") == 0)
+  }
+
+  test("BMP/WAV header codecs roundtrip; malformed payloads decode to None") {
+    import graft.ops.Multimodal._
+    assert(decodeBmp(encodeBmp(640, 480, 24)) == Some((640, 480, 24)))
+    assert(decodeBmp(encodeBmp(1, 1, 1)) == Some((1, 1, 1)))
+    // WAV: 44100 Hz stereo 16-bit, 1 s of data = 176400 bytes -> 1000 ms
+    assert(decodeWav(encodeWav(44100, 2, 176400)) == Some((44100, 2, 1000L)))
+    assert(decodeWav(encodeWav(8000, 1, 4000)) == Some((8000, 1, 250L)))
+    assert(decodeBmp("XXnotabmp".getBytes) == None)
+    assert(decodeBmp(encodeBmp(640, 480, 24).take(20)) == None) // truncated
+    assert(decodeWav("RIFFxxxxNOPE".getBytes) == None)
+    assert(decodeWav(null) == None && decodeBmp(null) == None)
+    // cross-format confusion: a WAV fed to the BMP parser and vice versa
+    assert(decodeBmp(encodeWav(8000, 1, 100)) == None)
+    assert(decodeWav(encodeBmp(10, 10, 24)) == None)
+  }
+
+  test("cardinality DropTag: rejected values lose the tag, events keep flowing") {
+    import graft.ops.CardinalityLimit
+    // arrival order (ord): users u1, u2 accepted (limit 2); u3 rejected
+    val rows = Seq(
+      (1L, Map("type" -> "a", "user" -> "u1")),
+      (2L, Map("type" -> "a", "user" -> "u2")),
+      (3L, Map("type" -> "b", "user" -> "u3")),
+      (4L, Map("type" -> "b", "user" -> "u1")),
+      (5L, Map("type" -> "a"))) // no user tag: untouched
+      .toDF("ord", "tags")
+    val out = CardinalityLimit.dropTag(rows, "tags", "user", col("ord"), limit = 2)
+      .orderBy("ord").as[(Long, Map[String, String])].collect().toSeq
+    assert(out.map(_._2) == Seq(
+      Map("type" -> "a", "user" -> "u1"),
+      Map("type" -> "a", "user" -> "u2"),
+      Map("type" -> "b"), // u3 over limit: tag stripped, event kept
+      Map("type" -> "b", "user" -> "u1"),
+      Map("type" -> "a")))
+    // Drop-event mode on the same input: the u3 event disappears instead
+    val dropped = CardinalityLimit.dropEvent(rows, "tags", "user", col("ord"), limit = 2)
+      .orderBy("ord").as[(Long, Map[String, String])].collect().toSeq
+    assert(dropped.map(_._1) == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("geoip range lookup: binary search hits boundaries, gaps miss") {
+    import graft.ops.GeoIp
+    val ranges = Seq((100L, 199L, "a"), (300L, 399L, "b"), (1000L, 1000L, "c"))
+    val df = Seq(99L, 100L, 150L, 199L, 200L, 299L, 300L, 399L, 500L, 1000L, 1001L)
+      .toDF("ip")
+    val got = df.select(col("ip"), GeoIp.lookupRange(col("ip"), ranges).as("geo"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      99L -> None, 100L -> Some("a"), 150L -> Some("a"), 199L -> Some("a"),
+      200L -> None, 299L -> None, 300L -> Some("b"), 399L -> Some("b"),
+      500L -> None, 1000L -> Some("c"), 1001L -> None))
+    // overlapping ranges are rejected up front
+    assertThrows[IllegalArgumentException] {
+      GeoIp.lookupRange(col("ip"), Seq((0L, 10L, "x"), (10L, 20L, "y")))
+    }
   }
 }

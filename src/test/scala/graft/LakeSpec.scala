@@ -121,6 +121,22 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.read().filter(col("pk") === victim).count() == 0)
   }
 
+  test("internalMetrics: per-partition commit telemetry queryable as a DataFrame") {
+    import spark.implicits._
+    val base = tmpDir()
+    val lake = new LakeTable(spark, base, "im", "pk")
+    val df = spark.range(1000).select((col("id") % 4).cast("string").as("pk"), col("id").as("v"))
+    lake.append(df, "im test")
+    val m = lake.internalMetrics()
+      .select($"table_name", $"part", $"n_rows", $"n_bytes", $"n_files", $"wall_ms")
+      .as[(String, String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(m.length == 4)
+    assert(m.forall(_._1 == "im"))
+    assert(m.map(_._2).toSeq == Seq("pk=0", "pk=1", "pk=2", "pk=3"))
+    assert(m.forall(_._3 == 250L)) // exact rows from parquet footers
+    assert(m.forall(r => r._4 > 0 && r._5 >= 1 && r._6 >= 0)) // bytes/files/wall
+  }
+
   test("manifests carry rows, files, lineage") {
     val base = tmpDir()
     val lake = new LakeTable(spark, base, "tier_1m", "pk")

@@ -56,24 +56,41 @@ class VtlParseScrapeSpec extends AnyFunSuite {
     assert(got(1).isEmpty)
   }
 
-  test("parse_user_agent: major families, versions, os, device category") {
+  test("parse_user_agent: woothee-subset ruleset — families, versions, os(+version), category") {
+    // expectations follow the public woothee dataset's classification
+    // (names, Windows marketing versions, smartphone/crawler/misc categories)
     val cases = Seq(
       ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
-        ("Chrome", "120.0.0.0", "Windows", "pc")),
+        ("Chrome", "120.0.0.0", "Windows 10", "NT 10.0", "pc")),
+      ("Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/45.0.2454.85 Safari/537.36 OPR/32.0.1948.25",
+        ("Opera", "32.0.1948.25", "Windows 7", "NT 6.1", "pc")),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+        ("Edge", "120.0.2210.91", "Windows 10", "NT 10.0", "pc")),
       ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
-        ("Safari", "17.1", "Mac OSX", "pc")),
+        ("Safari", "17.1", "Mac OSX", "10.15.7", "pc")),
       ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
-        ("Firefox", "115.0", "Linux", "pc")),
+        ("Firefox", "115.0", "Linux", "", "pc")),
       ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1",
-        ("Safari", "17.0", "iOS", "smartphone")),
-      ("Googlebot/2.1 (+http://www.google.com/bot.html)", ("crawler", "", "unknown", "crawler")),
-      ("curl/8.4.0", ("curl", "8.4.0", "unknown", "pc")),
-      ("weird agent string", ("unknown", "", "unknown", "unknown")))
+        ("Safari", "17.0", "iOS", "17.0", "smartphone")),
+      ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+        ("Chrome", "120.0.6099.43", "Android", "14", "smartphone")),
+      ("Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
+        ("Internet Explorer", "11.0", "Windows 7", "NT 6.1", "pc")),
+      ("Opera/9.80 (Windows NT 6.1) Presto/2.12.388 Version/12.16",
+        ("Opera", "12.16", "Windows 7", "NT 6.1", "pc")),
+      ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+        ("Googlebot", "2.1", "unknown", "", "crawler")),
+      ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+        ("bingbot", "2.0", "unknown", "", "crawler")),
+      ("curl/8.4.0", ("curl", "8.4.0", "unknown", "", "misc")),
+      ("python-requests/2.31.0", ("python-requests", "2.31.0", "unknown", "", "misc")),
+      ("weird agent string", ("unknown", "", "unknown", "", "unknown")))
     val got = cases.map(_._1).toDF("ua").select(Vtl.parseUserAgent($"ua"))
       .as[Map[String, String]].collect().toSeq
-    cases.zip(got).foreach { case ((ua, (bf, bv, os, dev)), m) =>
+    cases.zip(got).foreach { case ((ua, (bf, bv, os, osv, dev)), m) =>
       assert(m("browser.family") == bf && m("browser.version") == bv &&
-        m("os.family") == os && m("device.category") == dev, s"ua: $ua got $m")
+        m("os.family") == os && m("os.version") == osv &&
+        m("device.category") == dev, s"ua: $ua got $m")
     }
   }
 
