@@ -160,7 +160,7 @@ object Bench {
     import org.apache.spark.sql.functions._
     import graft.functions.Metricalize
     val obs = TokenFixture.deriveObs(spark.read.parquet(rawPath))
-      .filter(pmod(col("seq"), lit(4L)) === 0)
+      .filter(pmod(col("seq"), lit(8L)) === 0)
       .select(col("source"), col("value"), col("seq")).persist()
     val n = obs.count() // untimed cache populate
     val specs = Seq(
@@ -284,13 +284,14 @@ object Bench {
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 40M sequences (round 2 used 128M and timed out): large enough that the
+    // 36M sequences (round 2 used 128M and timed out): large enough that the
     // level-2 cascade runs ~4-5 minutes (well past the scheduling floors that
     // dominated the 2M smoke tests), small enough that min-of-2 at both
-    // levels + the query pass fit the 1500 s budget with slack
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "40000000").toLong
+    // levels + the query pass fit the 1500 s budget with slack (validated:
+    // a 40M run landed at 1274 s total with eff 1.014/1.184/1.000)
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "36000000").toLong
     val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1500").toDouble
-    val queriesReserve = 200.0
+    val queriesReserve = 170.0
 
     val rawPath = ensureRaw(benchN)
     partial(f"""{"phase":"datagen","sec":$elapsedSec%.2f,"n":$benchN}""")
