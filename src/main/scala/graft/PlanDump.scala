@@ -32,6 +32,21 @@ object PlanDump {
     println("==== gap-fill ====")
     queries.EventQueries.gapfillLocf(spark, "/root/testdata/sf0.01").explain("formatted")
 
+    println("==== q39 metricalize (chunked kind-replay) ====")
+    queries.TagQueries.metricalizePaths(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    println("==== q47 cardinality DropTag ====")
+    queries.MoreQueries.cardinalityDropTag(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    println("==== q48 geoip range ====")
+    queries.MoreQueries.geoipRange(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    println("==== q50 set ops ====")
+    queries.MoreQueries.setOpsDiff(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    println("==== q32 multimodal decode ====")
+    queries.MoreQueries.multimodalDecode(spark, "/root/testdata/sf0.01").explain("formatted")
+
     spark.stop()
   }
 }

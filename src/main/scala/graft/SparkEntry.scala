@@ -89,7 +89,8 @@ object SparkEntry {
     // —— batch 5 (round 3): enforcement modes + range lookup + self-telemetry ——
     "q47_cardinality_droptag" -> (MoreQueries.cardinalityDropTag _),
     "q48_geoip_range" -> (MoreQueries.geoipRange _),
-    "q49_internal_metrics" -> (MoreQueries.internalMetricsCensus _)
+    "q49_internal_metrics" -> (MoreQueries.internalMetricsCensus _),
+    "q50_set_ops_diff" -> (MoreQueries.setOpsDiff _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -347,6 +348,17 @@ object SparkEntry {
     "q49_internal_metrics" ->
       """SELECT 'events_lake' AS table_name, 'event_type=' || event_type AS part,
         | count(*) AS n_rows
-        |FROM events GROUP BY 2 ORDER BY part""".stripMargin
+        |FROM events GROUP BY 2 ORDER BY part""".stripMargin,
+    "q50_set_ops_diff" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events WHERE value > 50),
+        |b AS (SELECT DISTINCT event_type, user_id FROM events WHERE user_id % 3 = 0),
+        |d AS (
+        |  SELECT 'only_a' AS side, * FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'only_b', * FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        |  UNION ALL
+        |  SELECT 'both', * FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        |SELECT side, count(*) AS n_pairs, count(DISTINCT user_id) AS n_users
+        |FROM d GROUP BY 1 ORDER BY side""".stripMargin
   )
 }

@@ -58,7 +58,8 @@ object Exporter {
     * single-window formulation under any partitioning.
     */
   def assignBatches(df: DataFrame, tenantCol: String, tsCol: String, seqCol: String,
-      maxEvents: Int = 1000, numChunks: Int = 64): DataFrame = {
+      maxEvents: Int = 1000, numChunks: Int = 64,
+      tsBounds: Option[(Long, Long)] = None): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     // order-preserving long form of the event time (µs for timestamps;
     // TIMESTAMP_NTZ has no direct long cast)
@@ -67,9 +68,13 @@ object Exporter {
       case TimestampType => unix_micros(col(tsCol))
       case _ => col(tsCol).cast("long")
     }
-    val Array(lo, hi) = {
-      val r = df.agg(min(tRaw), max(tRaw)).head()
-      if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
+    // bounds from one tiny reduce, or caller-supplied (skips the blocking
+    // job when the window is already known — e.g. per-partition batch jobs)
+    val Array(lo, hi) = tsBounds match {
+      case Some((l, h)) => require(h >= l, s"tsBounds [$l, $h] inverted"); Array(l, h)
+      case None =>
+        val r = df.agg(min(tRaw), max(tRaw)).head()
+        if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
     }
     // null / uncastable event times coalesce to a below-range sentinel so
     // those rows pack FIRST (nulls-first, like the single-window formulation

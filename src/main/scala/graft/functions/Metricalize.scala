@@ -70,13 +70,17 @@ object Metricalize {
     if (path.startsWith("col:")) col(path.stripPrefix("col:")).cast("string")
     else get_json_object(col(propsCol), path)
 
-  /** Per-spec extraction structs off ONE scan: name, tags, kind, v, packed
-    * ord, spec index. The packed ord (event ord × #specs + spec position)
-    * replays one event's specs in config order; packing is guarded against
-    * Long overflow (the tier layer guards its packed ranges the same way,
-    * TierRollup.fromObs).
+  /** Per-spec extraction structs off ONE scan: name, tags, kind id, v,
+    * packed ord, spec index. Kinds travel as INTEGER ids (index into the
+    * static distinct-kind list) so every downstream aggregation buffer is a
+    * mutable primitive and the whole replay stays HashAggregate — string
+    * min_by/max_by buffers would demote the aggregations to SortAggregate.
+    * The packed ord (event ord × #specs + spec position) replays one event's
+    * specs in config order; packing is guarded against Long overflow (the
+    * tier layer guards its packed ranges the same way, TierRollup.fromObs).
     */
-  private def specStructs(propsCol: String, specs: Seq[MetricSpec], ordCol: Column): Seq[Column] = {
+  private def specStructs(propsCol: String, specs: Seq[MetricSpec], ordCol: Column,
+      kinds: Seq[String]): Seq[Column] = {
     val maxOrd = Long.MaxValue / specs.length
     val ordL = ordCol.cast("long")
     specs.zipWithIndex.map { case (sp, i) =>
@@ -99,12 +103,18 @@ object Metricalize {
       struct(
         lit(sp.name).as("name"),
         tags.as("tags"),
-        lit(sp.kind).as("kind"),
+        lit(kinds.indexOf(sp.kind)).as("kind"),
         v.as("v"),
         packed.as("ord"),
         lit(i).as("sidx"))
     }
   }
+
+  /** Kind id → kind string (static CASE over the distinct-kind list). */
+  private def kindStr(kinds: Seq[String], id: Column): Column =
+    kinds.zipWithIndex.foldLeft(lit(null).cast("string")) { case (acc, (k, i)) =>
+      when(id === i, lit(k)).otherwise(acc)
+    }
 
   /** m_buckets for the FINAL spec (`_fidx`): select that spec's rungs out of
     * the union-ladder counter array `_hb`.
@@ -141,15 +151,19 @@ object Metricalize {
     val kinds = specs.map(_.kind).distinct.sorted
 
     val perSpec = df
-      .select(explode(array(specStructs(propsCol, specs, ordCol): _*)).as("_m"))
+      .select(explode(array(specStructs(propsCol, specs, ordCol, kinds): _*)).as("_m"))
       .select(col("_m.name").as("name"), col("_m.tags").as("tags"),
         col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"),
         col("_m.sidx").as("sidx"))
       .filter(col("v").isNotNull) // missing value = dropped row (counted failure)
 
-    // series key must be orderable (maps aren't groupable); the canonical
-    // sorted escaped string is exact (injective) because tag values are strings
-    val keyed = perSpec.withColumn("skey", TagOps.canonicalTags(col("tags")))
+    // series key: the SORTED map-entries array (maps aren't groupable;
+    // arrays are, both as hash keys and as shuffle keys) — injective with no
+    // escaping, and the tags map rebuilds from it at the end, so no map-typed
+    // first() aggregate survives to demote the hash aggregation
+    val keyed = perSpec
+      .withColumn("skey", array_sort(map_entries(col("tags"))))
+      .drop("tags")
 
     // ---- kind-replay, chunked over the ord space ----
     // chunk width from the observed ord span: one tiny map-side reduce
@@ -170,12 +184,12 @@ object Metricalize {
           .otherwise(0L))
 
     // (b) per-(series, chunk) summary — hash agg, no sort: first/last kind in
-    // ord order plus, for each statically-known kind k, the max ord among
+    // ord order plus, for each statically-known kind id k, the max ord among
     // rows whose kind differs from k (the per-chunk boundary candidate)
     val perChunkAggs =
       Seq(min_by(col("kind"), col("ord")).as("_first_kind"),
         max_by(col("kind"), col("ord")).as("_last_kind_c")) ++
-        kinds.map(k => max(when(col("kind") =!= k, col("ord"))).as(s"_bnot_$k"))
+        kinds.indices.map(k => max(when(col("kind") =!= k, col("ord"))).as(s"_bnot_$k"))
     val perChunk = chunked
       .groupBy(col("name"), col("skey"), col("_chunk"))
       .agg(perChunkAggs.head, perChunkAggs.tail: _*)
@@ -188,7 +202,7 @@ object Metricalize {
       .groupBy(col("name"), col("skey"))
       .agg(max_by(col("_last_kind_c"), col("_chunk")).as("_last_kind"))
     val wSeries = Window.partitionBy(col("name"), col("skey")).orderBy(col("_chunk"))
-    val bnotForLast = kinds.foldLeft(lit(null).cast("long")) { (acc, k) =>
+    val bnotForLast = kinds.indices.foldLeft(lit(null).cast("long")) { (acc, k) =>
       when(col("_last_kind") === k, col(s"_bnot_$k")).otherwise(acc)
     }
     val seriesFrame = perChunk
@@ -202,13 +216,14 @@ object Metricalize {
         max(bnotForLast).as("_boundary"))
 
     // (d) join the per-series (last kind, boundary, cross-transitions) back
-    // and aggregate: value aggregates cover the surviving trailing run only
+    // and aggregate: value aggregates cover the surviving trailing run only.
+    // Every buffer is a mutable primitive → HashAggregate; the tags map
+    // rebuilds from the group key itself
     marked
       .join(seriesFrame, Seq("name", "skey"))
       .groupBy(col("name"), col("skey"))
       .agg(
-        first(col("tags")).as("tags"),
-        first(col("_last_kind")).as("kind"),
+        first(col("_last_kind")).as("_kind"),
         (sum(col("_mismatch")) + first(col("_cross_mm"))).as("mismatches"),
         max_by(col("sidx"), col("ord")).as("_fidx"),
         sum(when(surviving, col("v"))).as("_sum"),
@@ -218,10 +233,13 @@ object Metricalize {
          else array(ladder.map(b =>
            sum(when(surviving && col("v") <= b, 1L).otherwise(0L))): _*)).as("_hb"))
       .select(
-        col("name"), col("tags"), col("kind"),
-        when(col("kind") === "gauge", col("_last")).otherwise(col("_sum")).as("m_sum"),
+        col("name"),
+        map_from_entries(col("skey")).as("tags"),
+        kindStr(kinds, col("_kind")).as("kind"),
+        when(col("_kind") === kinds.indexOf("gauge"), col("_last"))
+          .otherwise(col("_sum")).as("m_sum"),
         col("m_count"),
-        when(col("kind") === "histogram", perSpecBuckets(specs, ladder))
+        when(col("_kind") === kinds.indexOf("histogram"), perSpecBuckets(specs, ladder))
           .otherwise(array().cast("array<bigint>")).as("m_buckets"),
         col("mismatches"))
   }
@@ -250,19 +268,19 @@ object Metricalize {
       watermark: String = "10 minutes"): DataFrame = {
     require(specs.nonEmpty, "at least one MetricSpec")
     val ladder = unionLadder(specs)
+    val kinds = specs.map(_.kind).distinct.sorted
     df
       .withColumn("_ts", col(tsCol))
       .withWatermark("_ts", watermark)
-      .select(col("_ts"), explode(array(specStructs(propsCol, specs, ordCol): _*)).as("_m"))
+      .select(col("_ts"), explode(array(specStructs(propsCol, specs, ordCol, kinds): _*)).as("_m"))
       .select(col("_ts"), col("_m.name").as("name"), col("_m.tags").as("tags"),
         col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"),
         col("_m.sidx").as("sidx"))
       .filter(col("v").isNotNull)
-      .withColumn("skey", TagOps.canonicalTags(col("tags")))
+      .withColumn("skey", array_sort(map_entries(col("tags"))))
       .groupBy(window(col("_ts"), s"$bucketSec seconds").as("w"),
         col("name"), col("skey"), col("kind"))
       .agg(
-        first(col("tags")).as("tags"),
         max_by(col("sidx"), col("ord")).as("_fidx"),
         sum(col("v")).as("_sum"),
         count(lit(1)).as("m_count"),
@@ -272,10 +290,13 @@ object Metricalize {
            sum(when(col("v") <= b, 1L).otherwise(0L))): _*)).as("_hb"))
       .select(
         unix_timestamp(col("w.start")).as("bucket"),
-        col("name"), col("tags"), col("kind"),
-        when(col("kind") === "gauge", col("_last")).otherwise(col("_sum")).as("m_sum"),
+        col("name"),
+        map_from_entries(col("skey")).as("tags"),
+        kindStr(kinds, col("kind")).as("kind"),
+        when(col("kind") === kinds.indexOf("gauge"), col("_last"))
+          .otherwise(col("_sum")).as("m_sum"),
         col("m_count"),
-        when(col("kind") === "histogram", perSpecBuckets(specs, ladder))
+        when(col("kind") === kinds.indexOf("histogram"), perSpecBuckets(specs, ladder))
           .otherwise(array().cast("array<bigint>")).as("m_buckets"))
   }
 

@@ -232,6 +232,25 @@ object MoreQueries {
       .orderBy(col("geo"))
   }
 
+  /** q50: set ops — intersect/except (SURVEY §2.6: absent as a reference
+    * runtime operator, used as the expected-vs-got diff in its tests; the
+    * north-rule resume proofs use the same shape). Two derived projections of
+    * the stream are diffed: rows only in A (except), only in B, and in both
+    * (intersect) — each a hash-partitioned set op, no window, no sort.
+    */
+  def setOpsDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+    val a = e.filter(col("value") > 50).select(col("event_type"), col("user_id"))
+    val b = e.filter(col("user_id") % 3 === 0).select(col("event_type"), col("user_id"))
+    val onlyA = a.except(b).withColumn("side", lit("only_a"))
+    val onlyB = b.except(a).withColumn("side", lit("only_b"))
+    val both = a.intersect(b).withColumn("side", lit("both"))
+    onlyA.unionByName(onlyB).unionByName(both)
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("side"))
+  }
+
   /** q49: internal-metrics surface
     * (/root/reference/src/sources/internal_metrics.rs): append the events
     * stream into a lake table, then read the pipeline's OWN per-partition

@@ -44,6 +44,13 @@ object AsOfJoin {
     *                  knob); chunk width is derived from the observed ts span
     * @param rightSeq  optional build-side unique tiebreak column for rows
     *                  tied on (key, ts)
+    * @param tsBounds  optional caller-supplied [lo, hi] of the long-form ts
+    *                  domain (µs for timestamp columns): skips the blocking
+    *                  min/max reduce — worth it when the caller already knows
+    *                  the window (e.g. a partition-pruned day) and issues
+    *                  many as-of joins. Rows outside the bounds are clamped
+    *                  into the first/last chunk (correctness preserved;
+    *                  parallelism of the clamped tail degrades).
     */
   def asof(
       left: DataFrame,
@@ -53,7 +60,8 @@ object AsOfJoin {
       rightTs: String,
       valueCols: Seq[String],
       numChunks: Int = 64,
-      rightSeq: Option[String] = None): DataFrame = {
+      rightSeq: Option[String] = None,
+      tsBounds: Option[(Long, Long)] = None): DataFrame = {
     val collisions = valueCols.intersect(left.columns.toSeq)
     require(collisions.isEmpty,
       s"valueCols ${collisions.mkString(",")} collide with probe-side columns — rename one side")
@@ -92,13 +100,18 @@ object AsOfJoin {
     val unioned = probe.unionByName(build)
 
     // chunk width from the observed span: one tiny reduce (map-side partial
-    // agg to a single row) — the analog of AQE collecting stats pre-plan
-    val Array(lo, hi) = {
-      val r = unioned.agg(min(col("_t")), max(col("_t"))).head()
-      if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
+    // agg to a single row) — the analog of AQE collecting stats pre-plan —
+    // unless the caller supplied the bounds
+    val Array(lo, hi) = tsBounds match {
+      case Some((l, h)) => require(h >= l, s"tsBounds [$l, $h] inverted"); Array(l, h)
+      case None =>
+        val r = unioned.agg(min(col("_t")), max(col("_t"))).head()
+        if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
     }
     val chunkW = math.max(1L, (hi - lo) / numChunks + 1)
-    val chunked = unioned.withColumn("_chunk", floor((col("_t") - lo) / chunkW).cast("long"))
+    val chunked = unioned.withColumn("_chunk",
+      greatest(lit(0L), least(lit((hi - lo) / chunkW),
+        floor((col("_t") - lo) / chunkW).cast("long"))))
 
     // boundary: per (key, chunk) the build side's last (values, tie) — then
     // carry-in for chunk c = the latest boundary from any chunk < c. The

@@ -48,6 +48,12 @@ class ExporterSpec extends AnyFunSuite {
         .select("seq", "batch_id").as[(Long, Long)].collect().toMap
       assert(got == expected, s"numChunks=$chunks")
     }
+    // caller-supplied bounds (skipping the min/max reduce) change nothing,
+    // even when the supplied window over-covers the data
+    val bounded = Exporter.assignBatches(df, "tenant", "ts", "seq", maxEvents = 7,
+      numChunks = 16, tsBounds = Some((-50L, 500L)))
+      .select("seq", "batch_id").as[(Long, Long)].collect().toMap
+    assert(bounded == expected, "tsBounds variant diverged")
   }
 
   test("canonical labels: key-sorted regardless of map insertion order") {

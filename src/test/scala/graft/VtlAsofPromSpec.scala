@@ -141,6 +141,15 @@ class VtlAsofPromSpec extends AnyFunSuite {
       assert(got.size == 400 && probe.forall { case (_, _, pid) => got(pid) == expected(pid) },
         s"numChunks=$chunks")
     }
+    // caller-supplied ts bounds (skipping the min/max reduce) change nothing,
+    // even when the window under-covers the data (out-of-range rows clamp
+    // into the edge chunks)
+    val bounded = AsOfJoin.asof(pdf, bdf, Seq("key"), "ts", "ts", Seq("v"),
+      numChunks = 13, rightSeq = Some("seq"), tsBounds = Some((100L, 800L)))
+      .select("pid", "v").as[(Long, Option[Double])].collect().toMap
+    assert(bounded.size == 400 &&
+      probe.forall { case (_, _, pid) => bounded(pid) == expected(pid) },
+      "tsBounds variant diverged")
   }
 
   test("prometheus text parse: samples, labels, specials, comments") {
