@@ -193,8 +193,10 @@ object Exporter {
     // headers: families are live iff they still have at least one live row;
     // kind string per MetricValue (Sum -> "counter", exporter.rs:363-369)
     val kindStr = when(col("kind") === "counter", "counter").otherwise(col("kind"))
+    // HELP text escapes '\' and newline per the exposition spec (label values
+    // additionally escape '"' — handled in canonicalLabels)
     val descCol = descriptions.foldLeft(lit(""): Column) { case (acc, (n, d)) =>
-      when(col("name") === n, lit(d)).otherwise(acc)
+      when(col("name") === n, lit(d.replace("\\", "\\\\").replace("\n", "\\n"))).otherwise(acc)
     }
     // max(), not first(): a family whose rows disagree on kind (the mismatch
     // case metricalize models) must render ONE deterministic header under any

@@ -137,6 +137,13 @@ class ExporterSpec extends AnyFunSuite {
     val parsed = graft.sources.PromText.parseLine(line)
     assert(parsed.exists(p => p.name == "m" && p.labels == tricky && p.value == 1.0),
       s"roundtrip failed: $line -> $parsed")
+    // HELP text with backslash/newline renders as ONE escaped line too
+    val rows = Seq(("m", Map.empty[String, String], "gauge", 1.0, 1L, Seq.empty[Long]))
+      .toDF("name", "tags", "kind", "m_sum", "m_count", "m_buckets")
+    val help = Exporter.renderExposition(rows,
+      descriptions = Map("m" -> "line1\nline2 c:\\tmp"))
+      .as[String].collect().head
+    assert(help == "# HELP m line1\\nline2 c:\\\\tmp", help)
   }
 
   test("renderText: lines ordered by (name, canonical labels), exposition shape") {
