@@ -159,8 +159,11 @@ object Bench {
   private def mzBench(spark: SparkSession, rawPath: String): (Long, Double) = {
     import org.apache.spark.sql.functions._
     import graft.functions.Metricalize
+    // 1/4 sample: at 1/8 the high-level job ran ~19 s and per-stage fixed
+    // floors dragged measured efficiency to 0.75 on a plan that scales ~1.0
+    // at double the work; 1/4 keeps both levels comfortably floor-free
     val obs = TokenFixture.deriveObs(spark.read.parquet(rawPath))
-      .filter(pmod(col("seq"), lit(8L)) === 0)
+      .filter(pmod(col("seq"), lit(4L)) === 0)
       .select(col("source"), col("value"), col("seq")).persist()
     val n = obs.count() // untimed cache populate
     val specs = Seq(
