@@ -90,7 +90,11 @@ object SparkEntry {
     "q47_cardinality_droptag" -> (MoreQueries.cardinalityDropTag _),
     "q48_geoip_range" -> (MoreQueries.geoipRange _),
     "q49_internal_metrics" -> (MoreQueries.internalMetricsCensus _),
-    "q50_set_ops_diff" -> (MoreQueries.setOpsDiff _)
+    "q50_set_ops_diff" -> (MoreQueries.setOpsDiff _),
+    "q51_cosine_neardup" -> (MoreQueries.cosineNearDup _),
+    // rows-only (sign-LSH buckets not DuckDB-reproducible; precision +
+    // pigeonhole recall ScalaTest-verified vs brute force)
+    "q52_cosine_neardup_lsh" -> (MoreQueries.cosineNearDupLsh _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -349,6 +353,17 @@ object SparkEntry {
       """SELECT 'events_lake' AS table_name, 'event_type=' || event_type AS part,
         | count(*) AS n_rows
         |FROM events GROUP BY 2 ORDER BY part""".stripMargin,
+    "q51_cosine_neardup" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 8),
+        |ex AS (SELECT va, vb, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM pairs)
+        |SELECT va AS vec_a, vb AS vec_b,
+        |  round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 5) AS cosine
+        |FROM ex GROUP BY 1, 2
+        |HAVING round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 5) >= 0.2
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q50_set_ops_diff" ->
       """WITH a AS (SELECT DISTINCT event_type, user_id FROM events WHERE value > 50),
         |b AS (SELECT DISTINCT event_type, user_id FROM events WHERE user_id % 3 = 0),

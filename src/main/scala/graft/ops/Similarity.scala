@@ -68,6 +68,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine NEAR-DUP PAIRS (the dedup-mode complement of the
+    * top-k search): all pairs with cosine >= `threshold`, found via
+    * sign-LSH banding — the `nBits`-bit hyperplane-sign signature is split
+    * into `bands`; docs sharing any full band are candidates; candidates
+    * are verified with the exact cosine.
+    *
+    * RECALL CONTRACT (pigeonhole, like Dedup.simhashPairs): banding is
+    * complete for pairs whose SIGN-SIGNATURE hamming is <= bands-1. The
+    * sign hamming of a pair is probabilistic in its angle (E[h] =
+    * nBits·θ/π, Charikar STOC'02), so cosine-threshold recall is
+    * probabilistic: raise `bands` (or lower nBits) for more recall, at the
+    * cost of wider buckets. Oversize buckets (> maxBucket) are excluded
+    * from pair generation — the same bounded-blowup guard as MinHash LSH.
+    *
+    * Scale shape: one narrow signature projection, one bucket shuffle with
+    * per-bucket pair explosion bounded by maxBucket², and an id-keyed join
+    * back to vectors for the exact-cosine verify — never an all-pairs
+    * product.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 16, bands: Int = 4, maxBucket: Int = 256,
+      dim: Int = 64): DataFrame = {
+    require(nBits % bands == 0 && nBits <= 63, s"bands=$bands must divide nBits=$nBits (< 64)")
+    val bits = nBits / bands
+    val mask = (1L << bits) - 1
+    val planes = hyperplanes(nBits, dim)
+    val sigs = emb.select(col(idCol).as("doc"),
+      lshBucket(col(vecCol), planes).as("_sig"))
+    val buckets = sigs
+      .select(col("doc"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("_sig"), b * bits).bitwiseAND(mask).as("key"))): _*)).as("b"))
+      .groupBy(col("b.band"), col("b.key"))
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+    val cands = buckets
+      .select(explode(flatten(transform(col("docs"),
+        (x, i) => transform(slice(col("docs"), i + 2, size(col("docs"))),
+          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+    val v = emb.select(col(idCol).as("doc"), col(vecCol).as("vec"))
+    cands
+      .join(v.withColumnRenamed("doc", "vec_a").withColumnRenamed("vec", "_va"), "vec_a")
+      .join(v.withColumnRenamed("doc", "vec_b").withColumnRenamed("vec", "_vb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("_va"), col("_vb")), 5).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Multi-probe LSH top-k: candidates live in the query's bucket OR any
     * bucket within hamming distance `probeHamming` of it (probing the
     * 1-bit-flip neighborhood is the standard recall fix for sign-LSH —

@@ -251,6 +251,33 @@ object MoreQueries {
       .orderBy(col("side"))
   }
 
+  /** q51: embedding-cosine near-dup, exact windowed form (builder-prompt
+    * dedup mode): each vector vs its next 8 ids, pairs with cosine >= 0.2 —
+    * the deterministic-pair trick (q27's) that makes hash-free similarity
+    * DuckDB-oracle-able; the production-scale LSH form is q52.
+    */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = DocQueries.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("_ea"),
+      explode(sequence(lit(1L), lit(8L))).as("_off"))
+      .withColumn("vec_b", col("vec_a") + col("_off"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("_eb"))
+    a.join(b, "vec_b") // equi-join on the generated id, no range join
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.cosine(col("_ea"), col("_eb")), 5).as("cosine"))
+      .filter(col("cosine") >= 0.2)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q52: embedding-cosine near-dup via sign-LSH banding (the scale path —
+    * bucket-bounded candidates, exact-cosine verify; rows-only check,
+    * precision + pigeonhole recall are ScalaTest-verified).
+    */
+  def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(DocQueries.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.2)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   /** q49: internal-metrics surface
     * (/root/reference/src/sources/internal_metrics.rs): append the events
     * stream into a lake table, then read the pipeline's OWN per-partition

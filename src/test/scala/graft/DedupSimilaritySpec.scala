@@ -200,6 +200,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("key"))
   }
 
+  test("cosine near-dup pairs: exact precision, pigeonhole recall vs brute force") {
+    val emb = embeddings // 500 vectors, dim 64
+    val tau = 0.2
+    val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", tau)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "threshold 0.2 should yield pairs on this corpus")
+    val rows = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val x = rows(a).map(_.toDouble); val y = rows(b).map(_.toDouble)
+      val dot = x.zip(y).map(p => p._1 * p._2).sum
+      math.rint(dot / (math.sqrt(x.map(v => v * v).sum) *
+        math.sqrt(y.map(v => v * v).sum)) * 1e5) / 1e5
+    }
+    // precision: every returned pair really clears the threshold
+    got.foreach { case (a, b, c) =>
+      assert(math.abs(cos(a, b) - c) < 2e-5 && c >= tau, s"pair ($a,$b) cos $c")
+    }
+    // pigeonhole recall: every pair with sign-signature hamming <= bands-1
+    // (= 3 at the default 16 bits / 4 bands) and cosine >= tau MUST be found
+    val planes = Similarity.hyperplanes(16, 64)
+    def sig(v: Seq[Float]): Long = planes.zipWithIndex.map { case (p, i) =>
+      val d = v.map(_.toDouble).zip(p).map(t => t._1 * t._2).sum
+      if (d > 0) 1L << i else 0L
+    }.foldLeft(0L)(_ | _)
+    val sigs = rows.map { case (id, v) => id -> sig(v) }
+    val ids = rows.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+      if cos(a, b) >= tau
+    } yield (a, b)).toSet
+    val gotPairs = got.map(g => (g._1, g._2)).toSet
+    assert(expected.subsetOf(gotPairs),
+      s"recall gap: ${(expected -- gotPairs).take(5)} (of ${expected.size})")
+  }
+
   test("multimodal decode pipeline: real BMP/WAV parses, malformed counted not thrown") {
     val out = graft.ops.Multimodal.pipeline(spark, "/root/testdata/sf0.001").collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio"))
