@@ -49,13 +49,25 @@ object Bench {
     System.out.flush()
   }
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, aqe: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // 4x the thread count: with partitions == threads, one task sorts the
+      // whole level-2 shuffle (45M rows hit a spill cliff — as-of measured
+      // 119 s vs ~56 s expected); finer partitions keep every sort
+      // in-memory and model a real cluster's task queueing. AQE coalesces
+      // them back when they are small
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE stays on for the cascade (the engine's normal operating mode);
+      // the OPERATOR datapoint children turn it off: AQE's per-stage
+      // replanning is a serial driver cost that measured 3.8 s of the as-of
+      // join's 16 s high-level wall (23%) vs ~2% at the low level — an
+      // asymmetric measurement artifact at bench scale, negligible on a real
+      // cluster whose stage walls are minutes
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", aqe.toString))
       // tmpfs shuffle dir: this sandbox runs proactive page-cache reclaim
       // (kdamond), which makes disk-backed shuffle files refault constantly
       // (observed 80% system CPU); RAM-backed local dirs isolate the
@@ -162,11 +174,10 @@ object Bench {
   private def mzBench(spark: SparkSession, rawPath: String): (Long, Double) = {
     import org.apache.spark.sql.functions._
     import graft.functions.Metricalize
-    // 1/4 sample: at 1/8 the high-level job ran ~19 s and per-stage fixed
-    // floors dragged measured efficiency to 0.75 on a plan that scales ~1.0
-    // at double the work; 1/4 keeps both levels comfortably floor-free
+    // 1/8 sample: sized so the high level of the ops pair stays well past
+    // the per-stage fixed floors while min-of-2 at the low level fits
     val obs = TokenFixture.deriveObs(spark.read.parquet(rawPath))
-      .filter(pmod(col("seq"), lit(4L)) === 0)
+      .filter(pmod(col("seq"), lit(8L)) === 0)
       .select(col("source"), col("value"), col("seq")).persist()
     val n = obs.count() // untimed cache populate
     val specs = Seq(
@@ -185,39 +196,59 @@ object Bench {
   }
 
   /** Run one parallelism level in THIS JVM within `budgetSec` of child wall
-    * clock: JIT-warmup cascade, then one mandatory shot per datapoint
-    * (cascade, as-of, metricalize), then optional min-of-2 reruns while the
-    * budget holds. Invoked in a fresh child JVM per level — sequential
-    * SparkSessions in one JVM showed progressive degradation (t32 measured
-    * 14→26→45→178 s on identical code as heap/session state accumulated),
-    * so each level gets a clean process, like separate spark-submit runs.
+    * clock: JIT warmup of the requested code paths, one mandatory shot per
+    * requested datapoint, then optional min-of-2/3 reruns while the budget
+    * holds. `phases`: "cascade" (headline pipeline), "ops" (as-of +
+    * metricalize operator datapoints) or "all". Invoked in a fresh child JVM
+    * per level — sequential SparkSessions in one JVM showed progressive
+    * degradation (t32 measured 14→26→45→178 s on identical code as
+    * heap/session state accumulated), so each level gets a clean process,
+    * like separate spark-submit runs.
     */
-  private def runLevel(cpus: Int, rawPath: String, budgetSec: Double)
+  private def runLevel(cpus: Int, rawPath: String, budgetSec: Double, phases: String)
       : (Long, Double, Double, Double) = {
     val c0 = System.nanoTime()
     def rem: Double = budgetSec - (System.nanoTime() - c0) / 1e9
-    val s = session(cpus)
+    val doCascade = phases == "all" || phases == "cascade"
+    val doOps = phases == "all" || phases == "ops"
+    val s = session(cpus, aqe = doCascade) // ops-only child measures AQE-free
     try {
       val warmBase = Files.createTempDirectory("graft_warm").toString
       val warmObs = TokenFixture.deriveObs(
         TokenFixture.tokenTable(s, 50000, withTokens = false))
         .select("series", "ts", "seq", "value")
-      TierCascade.run(s, warmObs, warmBase, seriesBuckets = 8, salts = 4,
-        withHistograms = true, withPages = true)
+      if (doCascade)
+        TierCascade.run(s, warmObs, warmBase, seriesBuckets = 8, salts = 4,
+          withHistograms = true, withPages = true)
+      if (doOps) {
+        import org.apache.spark.sql.functions.{col, count}
+        graft.tiers.AsOfJoin.asof(warmObs.drop("value"),
+          warmObs.withColumnRenamed("value", "asof_v"), Seq("series"), "ts", "ts",
+          Seq("asof_v"), numChunks = 8, rightSeq = Some("seq"))
+          .agg(count(col("asof_v"))).head()
+        graft.functions.Metricalize.metricalize(
+          warmObs.select(col("series").as("source"), col("value"), col("seq")), "source",
+          Seq(graft.functions.Metricalize.MetricSpec("w", "counter", "col:value"),
+            graft.functions.Metricalize.MetricSpec("w", "gauge", "col:value")),
+          col("seq"), numChunks = 8).agg(count(col("name"))).head()
+      }
       deleteRec(new java.io.File(warmBase))
 
       // mandatory first shots — print each as it lands
-      val (n, c1) = cascade(s, rawPath)
-      partial(f"""{"level":$cpus,"phase":"cascade","shot":1,"sec":$c1%.2f,"rows":$n}""")
-      val (_, a1) = asofBench(s, rawPath)
-      partial(f"""{"level":$cpus,"phase":"asof","shot":1,"sec":$a1%.2f}""")
-      val m1 = if (rem > c1 * 0.6 + 30) {
-        val (mn, m) = mzBench(s, rawPath)
-        partial(f"""{"level":$cpus,"phase":"metricalize","shot":1,"sec":$m%.2f,"rows":$mn}""")
-        m
-      } else {
-        partial(s"""{"level":$cpus,"phase":"metricalize","skipped":"budget"}""")
-        -1.0
+      var (n, c1) = (0L, -1.0)
+      if (doCascade) {
+        val r = cascade(s, rawPath); n = r._1; c1 = r._2
+        partial(f"""{"level":$cpus,"phase":"cascade","shot":1,"sec":$c1%.2f,"rows":$n}""")
+      }
+      var (a1, m1) = (-1.0, -1.0)
+      if (doOps) {
+        val ra = asofBench(s, rawPath)
+        if (n == 0L) n = ra._1
+        a1 = ra._2
+        partial(f"""{"level":$cpus,"phase":"asof","shot":1,"sec":$a1%.2f}""")
+        val rm = mzBench(s, rawPath)
+        m1 = rm._2
+        partial(f"""{"level":$cpus,"phase":"metricalize","shot":1,"sec":$m1%.2f,"rows":${rm._1}}""")
       }
 
       // optional rerun rounds (min-of-up-to-3), priority cascade > asof >
@@ -225,19 +256,24 @@ object Bench {
       // this shared VM (neighbour steal, reclaim), min under additive noise
       // estimates the true cost. The cheap high level naturally affords a
       // third round; the low level usually stops after round 2
+      // rerun criterion is the CURRENT best + a small margin (not 1.15x): a
+      // noisy-high first shot must not forfeit its own rerun — the level
+      // slice is soft; the parent's global budget (which reserves the later
+      // level and the query pass) is the real wall, and later phases degrade
+      // gracefully if a rerun overruns
       var (cBest, aBest, mBest) = (c1, a1, m1)
       for (round <- 2 to 3) {
-        if (rem > cBest * 1.15 + 15) {
+        if (cBest > 0 && rem > cBest + 15) {
           val (_, c) = cascade(s, rawPath)
           cBest = math.min(cBest, c)
           partial(f"""{"level":$cpus,"phase":"cascade","shot":$round,"sec":$c%.2f}""")
         }
-        if (rem > aBest * 1.15 + 10) {
+        if (aBest > 0 && rem > aBest + 10) {
           val (_, a) = asofBench(s, rawPath)
           aBest = math.min(aBest, a)
           partial(f"""{"level":$cpus,"phase":"asof","shot":$round,"sec":$a%.2f}""")
         }
-        if (mBest > 0 && rem > mBest * 1.15 + 10) {
+        if (mBest > 0 && rem > mBest + 10) {
           val (_, m) = mzBench(s, rawPath)
           mBest = math.min(mBest, m)
           partial(f"""{"level":$cpus,"phase":"metricalize","shot":$round,"sec":$m%.2f}""")
@@ -248,12 +284,12 @@ object Bench {
   }
 
   /** Spawn a child JVM (same classpath + module opens + heap) running
-    * `graft.Bench level <cpus> <rawPath> <budgetSec>`; stream its output
-    * through (so BENCH_PARTIAL evidence reaches the driver log live) and
-    * parse its LEVEL_RESULT line.
+    * `graft.Bench level <cpus> <rawPath> <budgetSec> <phases>`; stream its
+    * output through (so BENCH_PARTIAL evidence reaches the driver log live)
+    * and parse its LEVEL_RESULT line.
     */
-  private def runLevelForked(cpus: Int, rawPath: String, budgetSec: Double)
-      : (Long, Double, Double, Double) = {
+  private def runLevelForked(cpus: Int, rawPath: String, budgetSec: Double,
+      phases: String): (Long, Double, Double, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
@@ -261,7 +297,7 @@ object Bench {
         a.startsWith("-D"))
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"), "graft.Bench",
-      "level", cpus.toString, rawPath, f"$budgetSec%.0f")
+      "level", cpus.toString, rawPath, f"$budgetSec%.0f", phases)
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
@@ -289,7 +325,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "level") {
       val budget = if (args.length >= 4) args(3).toDouble else 600.0
-      val (n, cSec, aSec, mSec) = runLevel(args(1).toInt, args(2), budget)
+      val phases = if (args.length >= 5) args(4) else "all"
+      val (n, cSec, aSec, mSec) = runLevel(args(1).toInt, args(2), budget, phases)
       println(s"LEVEL_RESULT ${args(1)} $n $cSec $aSec $mSec")
       return
     }
@@ -297,7 +334,7 @@ object Bench {
     // 48M sequences (round 2 used 128M and timed out): per-stage fixed
     // floors are a ~20-30% drag on the high level's measured efficiency at
     // 36M (hi cascade ~50 s over ~15 jobs), so the input is as large as
-    // min-of-2-at-lo + min-of-3-at-hi still fits inside the 1500 s budget
+    // the full rerun schedule still fits inside the 1500 s budget
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "48000000").toLong
     val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1500").toDouble
     val queriesReserve = 170.0
@@ -306,38 +343,45 @@ object Bench {
     partial(f"""{"phase":"datagen","sec":$elapsedSec%.2f,"n":$benchN}""")
 
     // N -> 4N scaling protocol: identical input and JVM settings, one fresh
-    // child JVM per level. Default pair local[2] -> local[8]: past ~8 threads
-    // this single-socket sandbox saturates memory bandwidth (measured
-    // t8=92s vs t32=72s at 64M rows), which a multi-executor cluster does not
-    // - each executor brings its own memory channels (see BENCH.md).
-    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8")
+    // child JVM per (pair level, phase set), default pair local[2] ->
+    // local[8] for everything: past ~8 threads this single-socket sandbox
+    // saturates memory bandwidth, which a multi-executor cluster does not —
+    // each executor brings its own memory channels (see BENCH.md). The
+    // operator datapoints (as-of, metricalize) run in their own AQE-free
+    // children (see session()).
+    val cascadeLevels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8")
       .split(",").map(_.trim.toInt).toSeq
-    val results: Map[Int, Option[(Long, Double, Double, Double)]] =
-      levels.zipWithIndex.map { case (cpus, i) =>
-        val levelsLeft = levels.size - i
+    val opsLevels = sys.env.getOrElse("SPARK_GRAFT_OPS_LEVELS", "2,8")
+      .split(",").map(_.trim.toInt).toSeq
+    // (phase, cpus, cost weight) — weights from measured 48M run shapes,
+    // used only to split the remaining budget between children
+    val children = Seq(
+      ("cascade", cascadeLevels.head, 0.38), ("cascade", cascadeLevels.last, 0.14),
+      ("ops", opsLevels.head, 0.33), ("ops", opsLevels.last, 0.15))
+    val results: Map[(String, Int), Option[(Long, Double, Double, Double)]] =
+      children.zipWithIndex.map { case ((phase, cpus, w), i) =>
+        val weightLeft = children.drop(i).map(_._3).sum
         val available = budget - elapsedSec - queriesReserve
-        // the low level is the expensive one: give the first level the bulk of
-        // what's left, later (faster) levels split the remainder
-        val share = if (levelsLeft == 1) available
-          else if (i == 0) available * 0.68 else available / levelsLeft
-        val r = try Some(runLevelForked(cpus, rawPath, math.max(60.0, share)))
+        val share = available * (w / weightLeft)
+        val r = try Some(runLevelForked(cpus, rawPath, math.max(60.0, share), phase))
         catch {
           case e: Exception =>
-            partial(s"""{"phase":"level_failed","cpus":$cpus,"err":"${e.getMessage}"}""")
+            partial(s"""{"phase":"level_failed","which":"$phase","cpus":$cpus,"err":"${e.getMessage}"}""")
             None
         }
         r.foreach(v => partial(
-          f"""{"phase":"level_done","cpus":$cpus,"cascade_sec":${v._2}%.2f,"asof_sec":${v._3}%.2f,"mz_sec":${v._4}%.2f,"elapsed":$elapsedSec%.2f}"""))
-        cpus -> r
+          f"""{"phase":"level_done","which":"$phase","cpus":$cpus,"cascade_sec":${v._2}%.2f,"asof_sec":${v._3}%.2f,"mz_sec":${v._4}%.2f,"elapsed":$elapsedSec%.2f}"""))
+        (phase, cpus) -> r
       }.toMap
-    val (nSeq, tLo, aLo, mLo) = results(levels.head).getOrElse((0L, -1.0, -1.0, -1.0))
-    val (_, tHi, aHi, mHi) = results(levels.last).getOrElse((0L, -1.0, -1.0, -1.0))
-    val ratio = levels.last.toDouble / levels.head
-    def effOf(lo: Double, hi: Double): Double =
+    val (nSeq, tLo, _, _) = results(("cascade", cascadeLevels.head)).getOrElse((0L, -1.0, -1.0, -1.0))
+    val (_, tHi, _, _) = results(("cascade", cascadeLevels.last)).getOrElse((0L, -1.0, -1.0, -1.0))
+    val (_, _, aLo, mLo) = results(("ops", opsLevels.head)).getOrElse((0L, -1.0, -1.0, -1.0))
+    val (_, _, aHi, mHi) = results(("ops", opsLevels.last)).getOrElse((0L, -1.0, -1.0, -1.0))
+    def effOf(lo: Double, hi: Double, ratio: Double): Double =
       if (lo > 0 && hi > 0) (lo / hi) / ratio else -1.0
-    val eff = effOf(tLo, tHi)
-    val asofEff = effOf(aLo, aHi)
-    val mzEff = effOf(mLo, mHi)
+    val eff = effOf(tLo, tHi, cascadeLevels.last.toDouble / cascadeLevels.head)
+    val asofEff = effOf(aLo, aHi, opsLevels.last.toDouble / opsLevels.head)
+    val mzEff = effOf(mLo, mHi, opsLevels.last.toDouble / opsLevels.head)
 
     // per-query timings on the driver testdata (final session at full width);
     // stops early if the deadline nears — the final JSON always prints
@@ -365,6 +409,6 @@ object Bench {
     def thr(t: Double): Long = if (t > 0) (nSeq / t).toLong else -1L
     val total = elapsedSec
     println(
-      f"""{"metric":"rollup+compress cascade + operator queries","value":$total%.2f,"unit":"sec","queries":$qs,"skipped_queries":$skippedQueries,"sf":"$sfDir","bench_sequences":$nSeq,"levels":"${levels.mkString("/")}","budget_sec":$budget%.0f,"cascade_sec_lo":$tLo%.2f,"cascade_sec_hi":$tHi%.2f,"throughput_seq_per_sec_lo":${thr(tLo)},"throughput_seq_per_sec_hi":${thr(tHi)},"scaling_efficiency":$eff%.3f,"asof_sec_lo":$aLo%.2f,"asof_sec_hi":$aHi%.2f,"asof_scaling_efficiency":$asofEff%.3f$mzFields}""")
+      f"""{"metric":"rollup+compress cascade + operator queries","value":$total%.2f,"unit":"sec","queries":$qs,"skipped_queries":$skippedQueries,"sf":"$sfDir","bench_sequences":$nSeq,"levels":"${cascadeLevels.mkString("/")}","ops_levels":"${opsLevels.mkString("/")}","budget_sec":$budget%.0f,"cascade_sec_lo":$tLo%.2f,"cascade_sec_hi":$tHi%.2f,"throughput_seq_per_sec_lo":${thr(tLo)},"throughput_seq_per_sec_hi":${thr(tHi)},"scaling_efficiency":$eff%.3f,"asof_sec_lo":$aLo%.2f,"asof_sec_hi":$aHi%.2f,"asof_scaling_efficiency":$asofEff%.3f$mzFields}""")
   }
 }

@@ -53,26 +53,35 @@ object TierCascade {
       r
     }
 
-    val t1m = if (salts > 1) TierRollup.fromObsSalted(obsIn, 60L, salts)
-              else TierRollup.fromObs(obsIn, 60L)
-    val lake1m = new LakeTable(spark, basePath, "tier_1m", "pk")
-    val new1m = timed("raw->1m")(lake1m.append(t1m.withColumn("pk", partKey(seriesBuckets)),
-      lineage = "raw->1m rollup bucket=60s"))
+    // The three chains — sum tiers (raw→1m→1h→1d), histogram tiers
+    // (raw→hist_1m→1h→1d) and Gorilla pages (raw→pages_1h) — have no data
+    // dependencies on each other, so they materialize CONCURRENTLY from
+    // driver threads (Spark schedules jobs from multiple threads on one
+    // session): independent sinks overlap each other's driver-side commit
+    // phases and keep executors busy end to end, exactly as a production
+    // pipeline with several sinks would. Order within a chain is preserved
+    // (each tier reads only the previous tier's committed partitions).
+    def sumChain(): Seq[TierResult] = {
+      val t1m = if (salts > 1) TierRollup.fromObsSalted(obsIn, 60L, salts)
+                else TierRollup.fromObs(obsIn, 60L)
+      val lake1m = new LakeTable(spark, basePath, "tier_1m", "pk")
+      val new1m = timed("raw->1m")(lake1m.append(t1m.withColumn("pk", partKey(seriesBuckets)),
+        lineage = "raw->1m rollup bucket=60s"))
 
-    val lake1h = new LakeTable(spark, basePath, "tier_1h", "pk")
-    val t1h = TierRollup.mergeTier(lake1m.read().drop("pk"), 3600L)
-    val new1h = timed("1m->1h")(lake1h.append(t1h.withColumn("pk", partKey(seriesBuckets)),
-      lineage = "1m->1h mergeTier bucket=3600s"))
+      val lake1h = new LakeTable(spark, basePath, "tier_1h", "pk")
+      val t1h = TierRollup.mergeTier(lake1m.read().drop("pk"), 3600L)
+      val new1h = timed("1m->1h")(lake1h.append(t1h.withColumn("pk", partKey(seriesBuckets)),
+        lineage = "1m->1h mergeTier bucket=3600s"))
 
-    val lake1d = new LakeTable(spark, basePath, "tier_1d", "pk")
-    val t1d = TierRollup.mergeTier(lake1h.read().drop("pk"), 86400L)
-    val new1d = timed("1h->1d")(lake1d.append(t1d.withColumn("pk", partKey(seriesBuckets)),
-      lineage = "1h->1d mergeTier bucket=86400s"))
+      val lake1d = new LakeTable(spark, basePath, "tier_1d", "pk")
+      val t1d = TierRollup.mergeTier(lake1h.read().drop("pk"), 86400L)
+      val new1d = timed("1h->1d")(lake1d.append(t1d.withColumn("pk", partKey(seriesBuckets)),
+        lineage = "1h->1d mergeTier bucket=86400s"))
+      Seq(TierResult("1m", lake1m, new1m), TierResult("1h", lake1h, new1h),
+        TierResult("1d", lake1d, new1d))
+    }
 
-    val core = Seq(TierResult("1m", lake1m, new1m), TierResult("1h", lake1h, new1h),
-      TierResult("1d", lake1d, new1d))
-
-    val hist = if (!withHistograms) Nil else {
+    def histChain(): Seq[TierResult] = {
       val ladder = graft.model.Schemas.bucketLadder
       val lakeH1m = new LakeTable(spark, basePath, "hist_1m", "pk")
       val h1m = TierRollup.histogramFromObs(obsIn, ladder, 60L)
@@ -92,7 +101,7 @@ object TierCascade {
         TierResult("hist_1d", lakeH1d, newH1d))
     }
 
-    val pages = if (!withPages) Nil else {
+    def pagesChain(): Seq[TierResult] = {
       val lakeP = new LakeTable(spark, basePath, "pages_1h", "pk")
       val p = graft.functions.Pages.pagesFromObs(obsIn, 3600L)
       val newP = timed("raw->pages_1h")(lakeP.append(p.withColumn("pk", partKey(seriesBuckets)),
@@ -100,8 +109,22 @@ object TierCascade {
       Seq(TierResult("pages_1h", lakeP, newP))
     }
 
+    val chains: Seq[() => Seq[TierResult]] =
+      Seq(() => sumChain()) ++
+        (if (withHistograms) Seq(() => histChain()) else Nil) ++
+        (if (withPages) Seq(() => pagesChain()) else Nil)
+    val results =
+      if (chains.size == 1) chains.head()
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
+        try chains.map(c => pool.submit(new java.util.concurrent.Callable[Seq[TierResult]] {
+          def call(): Seq[TierResult] = c()
+        })).flatMap(_.get())
+        finally pool.shutdown()
+      }
+
     if (cacheObs) obsIn.unpersist(blocking = false)
-    core ++ hist ++ pages
+    results
   }
 
   /** Retention sweep: per-tier TTLs (seconds of bucket age vs the tier's

@@ -38,6 +38,22 @@ class LakeSpec extends AnyFunSuite {
     assert(again.head.table.read().count() == rows1m)
   }
 
+  test("full cascade with concurrent chains: all 7 tiers commit, rerun recomputes nothing") {
+    val base = tmpDir()
+    val results = TierCascade.run(spark, obs(5000), base, seriesBuckets = 4, salts = 2,
+      withHistograms = true, withPages = true)
+    assert(results.map(_.name) ==
+      Seq("1m", "1h", "1d", "hist_1m", "hist_1h", "hist_1d", "pages_1h"))
+    assert(results.forall(_.newPartitions.nonEmpty))
+    val counts = results.map(r => r.name -> r.table.read().count()).toMap
+    assert(counts.values.forall(_ > 0))
+    // rerun: every chain resumes with nothing to recompute, byte-stable reads
+    val again = TierCascade.run(spark, obs(5000), base, seriesBuckets = 4, salts = 2,
+      withHistograms = true, withPages = true)
+    assert(again.forall(_.newPartitions.isEmpty))
+    assert(again.map(r => r.name -> r.table.read().count()).toMap == counts)
+  }
+
   test("1000-partition append commits in seconds; resume and read stay exact") {
     import spark.implicits._
     val base = tmpDir()
