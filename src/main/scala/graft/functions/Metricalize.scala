@@ -138,13 +138,21 @@ object Metricalize {
     *
     * @param numChunks ord-space chunk count — the series × chunks parallelism
     *                  knob for the kind-replay windows
+    * @param ordBounds optional caller-supplied [lo, hi] of the RAW `ordCol`
+    *                  domain (pre-packing): skips the blocking min/max reduce
+    *                  (the AsOfJoin.tsBounds escape) — worth it when the
+    *                  caller already knows the ord window, e.g. a
+    *                  partition-pruned replay. Rows outside the bounds clamp
+    *                  into the first/last chunk (correctness preserved,
+    *                  parallelism of the clamped tail degrades).
     */
   def metricalize(
       df: DataFrame,
       propsCol: String,
       specs: Seq[MetricSpec],
       ordCol: Column,
-      numChunks: Int = 64): DataFrame = {
+      numChunks: Int = 64,
+      ordBounds: Option[(Long, Long)] = None): DataFrame = {
     require(specs.nonEmpty, "at least one MetricSpec")
     require(numChunks >= 1, "numChunks must be >= 1")
     val ladder = unionLadder(specs)
@@ -166,13 +174,22 @@ object Metricalize {
       .drop("tags")
 
     // ---- kind-replay, chunked over the ord space ----
-    // chunk width from the observed ord span: one tiny map-side reduce
-    val Array(lo, hi) = {
-      val r = keyed.agg(min(col("ord")), max(col("ord"))).head()
-      if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
+    // chunk width from the observed ord span (one tiny map-side reduce),
+    // unless the caller supplied the raw-ord bounds — packed bounds follow
+    // from the packing (rawLo*n+0 .. rawHi*n+(n-1)); caller bounds may be a
+    // subset of the data, so the chunk id clamps into [0, maxChunk]
+    val Array(lo, hi) = ordBounds match {
+      case Some((l, h)) =>
+        require(h >= l, s"ordBounds [$l, $h] inverted")
+        Array(l * specs.length, h * specs.length + (specs.length - 1))
+      case None =>
+        val r = keyed.agg(min(col("ord")), max(col("ord"))).head()
+        if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
     }
     val chunkW = math.max(1L, (hi - lo) / numChunks + 1)
-    val chunked = keyed.withColumn("_chunk", floor((col("ord") - lo) / chunkW).cast("long"))
+    val chunked = keyed.withColumn("_chunk",
+      greatest(lit(0L), least(lit((hi - lo) / chunkW),
+        floor((col("ord") - lo) / chunkW).cast("long"))))
 
     // (a) within-chunk transitions: the only data-sized ordered window, and it
     // partitions by (series, chunk) — parallelism series × chunks

@@ -107,8 +107,10 @@ object Multimodal {
   def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
     if (b == null || b.length < 30 || b(0) != 'B' || b(1) != 'M') None
     else {
+      // height is SIGNED in BITMAPINFOHEADER: a negative value is a legal
+      // top-down BMP — report its magnitude, never a negative pixel count
       val w = le32(b, 18); val h = le32(b, 22); val bpp = le16(b, 28)
-      if (w <= 0 || h == 0 || bpp <= 0) None else Some((w, h, bpp))
+      if (w <= 0 || h == 0 || bpp <= 0) None else Some((w, math.abs(h), bpp))
     }
 
   /** Parse a WAV header: Some((sampleRate, channels, durationMs)) or None. */

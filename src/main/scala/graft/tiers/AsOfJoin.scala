@@ -109,9 +109,14 @@ object AsOfJoin {
         if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
     }
     val chunkW = math.max(1L, (hi - lo) / numChunks + 1)
+    // the clamp (out-of-bounds rows land in the first/last chunk) must not
+    // swallow nulls: least/greatest skip null inputs, so an un-guarded clamp
+    // would send a null-ts row into the LAST chunk (joining the latest build
+    // value) instead of keeping its null chunk → null as-of value
     val chunked = unioned.withColumn("_chunk",
-      greatest(lit(0L), least(lit((hi - lo) / chunkW),
-        floor((col("_t") - lo) / chunkW).cast("long"))))
+      when(col("_t").isNotNull,
+        greatest(lit(0L), least(lit((hi - lo) / chunkW),
+          floor((col("_t") - lo) / chunkW).cast("long")))))
 
     // boundary: per (key, chunk) the build side's last (values, tie) — then
     // carry-in for chunk c = the latest boundary from any chunk < c. The
@@ -153,5 +158,152 @@ object AsOfJoin {
       .select(keyCols.map(col) ++
         leftCarry.map(c => col(s"_l_$c").as(c)) ++
         valueCols.map(col): _*)
+  }
+
+  /** Broadcast as-of join — the plan to pick when the build side is
+    * dimension/snapshot-shaped (bounded rows, like Spark's own
+    * autoBroadcastJoinThreshold reasoning): the build rows are collected per
+    * key into ts-sorted arrays, broadcast once, and every probe row does one
+    * O(log n) binary search inside a codegen'd UDF call. The probe side is
+    * never shuffled and never sorted — a narrow map that scales with
+    * executors with no barrier, which the chunked [[asof]] (one hash shuffle
+    * + per-(key, chunk) sort of probe ∪ build) cannot match when the build is
+    * small. Semantics are identical to [[asof]]: latest build row with
+    * build_ts <= probe_ts per key, ties on (ts) broken by `rightSeq` when
+    * given else by the value columns.
+    *
+    * Value columns must be atomic types (long/int/double/float/string/
+    * boolean/timestamp) — each gets its own typed lookup UDF sharing the
+    * broadcast index. Use [[asof]] for struct/array values or unbounded
+    * build sides; [[asofAuto]] dispatches on a build-side row count.
+    */
+  def asofBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      rightSeq: Option[String] = None): DataFrame = {
+    val collisions = valueCols.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"valueCols ${collisions.mkString(",")} collide with probe-side columns — rename one side")
+    import org.apache.spark.sql.types._
+    def toLong(df: DataFrame, tsName: String): Column = df.schema(tsName).dataType match {
+      case TimestampNTZType => unix_micros(col(tsName).cast("timestamp"))
+      case TimestampType => unix_micros(col(tsName))
+      case _ => col(tsName).cast("long")
+    }
+    // deterministic build order (t, tie): the as-of pick at probe time T is
+    // the LAST row with t <= T in this order — max tie among tied ts, the
+    // same row the chunked window's last() selects
+    val tieCol = rightSeq.map(col).getOrElse(struct(valueCols.map(col): _*))
+    val buildRows = right
+      .select(struct(keyCols.map(col): _*).as("_k"), toLong(right, rightTs).as("_t"),
+        tieCol.as("_tie"), struct(valueCols.map(col): _*).as("_v"))
+      .filter(col("_t").isNotNull)
+      .sort(col("_k"), col("_t")) // cluster keys; (t) order finalized driver-side
+      .collect()
+    // per key: ts array sorted by (t, tie) + parallel value rows
+    // tie comparator mirroring the chunked path's orderBy(_tie): numeric seq
+    // compares numerically; a value-struct tie compares field-by-field
+    def cmpAny(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1 // nulls-first, Spark's default sort order
+      case (_, null) => 1
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case (x: org.apache.spark.sql.Row, y: org.apache.spark.sql.Row) =>
+        x.toSeq.zip(y.toSeq).iterator.map { case (u, v) => cmpAny(u, v) }
+          .find(_ != 0).getOrElse(0)
+      case (x, y) => x.toString.compareTo(y.toString) // stable fallback
+    }
+    val rowOrd: Ordering[org.apache.spark.sql.Row] =
+      (r1, r2) => {
+        val c = java.lang.Long.compare(r1.getLong(1), r2.getLong(1))
+        if (c != 0) c else cmpAny(r1.get(2), r2.get(2))
+      }
+    val index: Map[Seq[Any], (Array[Long], Array[org.apache.spark.sql.Row])] =
+      buildRows.groupBy(_.getStruct(0).toSeq).map { case (k, rows) =>
+        val sorted = rows.sorted(rowOrd)
+        (k, (sorted.map(_.getLong(1)), sorted.map(_.getStruct(3))))
+      }
+    val bc = left.sparkSession.sparkContext.broadcast(index)
+    // last index with ts[i] <= t, else -1
+    def search(ts: Array[Long], t: Long): Int = {
+      var l = 0; var r = ts.length - 1; var found = -1
+      while (l <= r) {
+        val m = (l + r) >>> 1
+        if (ts(m) <= t) { found = m; l = m + 1 } else r = m - 1
+      }
+      found
+    }
+    def lookupFor(vi: Int, dt: DataType): (Column, Column) => Column = {
+      def pick(k: org.apache.spark.sql.Row, t: java.lang.Long): Any = {
+        if (t == null) null
+        else bc.value.get(k.toSeq) match {
+          case None => null
+          case Some((ts, vs)) =>
+            val i = search(ts, t)
+            if (i < 0) null else vs(i).get(vi)
+        }
+      }
+      val u = dt match {
+        case DoubleType => udf { (k: org.apache.spark.sql.Row, t: java.lang.Long) =>
+          pick(k, t).asInstanceOf[java.lang.Double] }
+        case FloatType => udf { (k: org.apache.spark.sql.Row, t: java.lang.Long) =>
+          pick(k, t).asInstanceOf[java.lang.Float] }
+        case LongType => udf { (k: org.apache.spark.sql.Row, t: java.lang.Long) =>
+          pick(k, t).asInstanceOf[java.lang.Long] }
+        case IntegerType => udf { (k: org.apache.spark.sql.Row, t: java.lang.Long) =>
+          pick(k, t).asInstanceOf[java.lang.Integer] }
+        case StringType => udf { (k: org.apache.spark.sql.Row, t: java.lang.Long) =>
+          pick(k, t).asInstanceOf[String] }
+        case BooleanType => udf { (k: org.apache.spark.sql.Row, t: java.lang.Long) =>
+          pick(k, t).asInstanceOf[java.lang.Boolean] }
+        case other => throw new IllegalArgumentException(
+          s"asofBroadcast supports atomic value columns only, got $other — use asof()")
+      }
+      (k, t) => u(k, t)
+    }
+    val kCol = struct(keyCols.map(col): _*)
+    val tCol = toLong(left, leftTs)
+    valueCols.zipWithIndex.foldLeft(left) { case (df, (v, vi)) =>
+      df.withColumn(v, lookupFor(vi, right.schema(v).dataType)(kCol, tCol))
+    }
+  }
+
+  /** Dispatch between [[asofBroadcast]] and chunked [[asof]] on the observed
+    * build-side row count (one agg on the build side only — the analog of
+    * Spark's broadcast-threshold stats check). `broadcastRowLimit` bounds the
+    * driver-collected index; beyond it the shuffle-based chunked plan is the
+    * only shape that scales.
+    */
+  def asofAuto(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      numChunks: Int = 64,
+      rightSeq: Option[String] = None,
+      tsBounds: Option[(Long, Long)] = None,
+      broadcastRowLimit: Long = 2000000L): DataFrame = {
+    val n = right.count()
+    val atomic = {
+      import org.apache.spark.sql.types._
+      valueCols.forall(v => right.schema(v).dataType match {
+        case DoubleType | FloatType | LongType | IntegerType | StringType | BooleanType => true
+        case _ => false
+      })
+    }
+    if (n <= broadcastRowLimit && atomic)
+      asofBroadcast(left, right, keyCols, leftTs, rightTs, valueCols, rightSeq)
+    else asof(left, right, keyCols, leftTs, rightTs, valueCols, numChunks, rightSeq, tsBounds)
   }
 }

@@ -289,6 +289,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dropped.map(_._1) == Seq(1L, 2L, 4L, 5L))
   }
 
+  test("cardinality enforcement at limit=100k: no limit-sized literal in the plan") {
+    import graft.ops.CardinalityLimit
+    // 120k distinct users, limit 100k: the accepted set must travel as a
+    // broadcast, not as a 100k-element literal array the planner carries
+    val n = 120000
+    val rows = spark.range(n.toLong)
+      .selectExpr("id AS ord", "map('user', concat('u', id)) AS tags")
+    val out = CardinalityLimit.dropEvent(rows, "tags", "user", col("ord"), limit = 100000)
+    val planLen = out.queryExecution.executedPlan.toString.length
+    assert(planLen < 20000, s"plan string is $planLen chars — literal accepted set leaked in")
+    assert(out.count() == 100000L)
+    // boundary is by first-seen ord: exactly ids 0..99999 survive
+    val maxKept = out.selectExpr("max(ord)").as[Long].head()
+    assert(maxKept == 99999L)
+  }
+
+  test("cardinality enforcement: first-ord ties break deterministically by value; empty set") {
+    import graft.ops.CardinalityLimit
+    // two values share first_ord=1 at the limit boundary: lexicographically
+    // smaller value wins, every run
+    val rows = Seq((1L, Map("u" -> "zz")), (1L, Map("u" -> "aa")), (2L, Map("u" -> "mm")))
+      .toDF("ord", "tags")
+    for (_ <- 1 to 3) {
+      val kept = CardinalityLimit.dropEvent(rows, "tags", "u", col("ord"), limit = 1)
+        .select(element_at(col("tags"), "u")).as[String].collect().toSeq
+      assert(kept == Seq("aa"))
+    }
+    // no event carries the key: accepted set is empty; DropTag strips
+    // nothing (no key present), Drop keeps keyless events flowing
+    val keyless = Seq((1L, Map("x" -> "1")), (2L, Map("y" -> "2"))).toDF("ord", "tags")
+    assert(CardinalityLimit.dropEvent(keyless, "tags", "u", col("ord"), 5).count() == 2)
+    assert(CardinalityLimit.dropTag(keyless, "tags", "u", col("ord"), 5)
+      .select(size(col("tags"))).as[Int].collect().toSeq == Seq(1, 1))
+    // events DO carry the key but input slice is empty: everything keyed drops
+    val empty = keyless.filter(col("ord") > 100)
+    assert(CardinalityLimit.dropEvent(empty, "tags", "u", col("ord"), 5).count() == 0)
+  }
+
   test("geoip range lookup: binary search hits boundaries, gaps miss") {
     import graft.ops.GeoIp
     val ranges = Seq((100L, 199L, "a"), (300L, 399L, "b"), (1000L, 1000L, "c"))

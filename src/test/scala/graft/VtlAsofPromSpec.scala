@@ -150,6 +150,50 @@ class VtlAsofPromSpec extends AnyFunSuite {
     assert(bounded.size == 400 &&
       probe.forall { case (_, _, pid) => bounded(pid) == expected(pid) },
       "tsBounds variant diverged")
+    // broadcast plan (small snapshot-shaped build side): identical semantics,
+    // zero probe shuffle
+    val bcast = AsOfJoin.asofBroadcast(pdf, bdf, Seq("key"), "ts", "ts", Seq("v"),
+      rightSeq = Some("seq"))
+      .select("pid", "v").as[(Long, Option[Double])].collect().toMap
+    assert(bcast.size == 400 &&
+      probe.forall { case (_, _, pid) => bcast(pid) == expected(pid) },
+      "broadcast variant diverged from brute force")
+    // auto dispatch: under the row limit it must take the broadcast path —
+    // the physical plan has no Exchange (no shuffle of the probe at all)
+    val auto = AsOfJoin.asofAuto(pdf, bdf, Seq("key"), "ts", "ts", Seq("v"),
+      rightSeq = Some("seq"))
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"auto plan should be shuffle-free:\n$plan")
+    val autoGot = auto.select("pid", "v").as[(Long, Option[Double])].collect().toMap
+    assert(probe.forall { case (_, _, pid) => autoGot(pid) == expected(pid) })
+  }
+
+  test("broadcast as-of: ties by seq, missing keys, multi-value, string values") {
+    val left = Seq(("k", 10L, 1L), ("k", 9L, 2L), ("j", 5L, 3L), ("m", 7L, 4L))
+      .toDF("key", "ts", "pid")
+    val right = Seq(("k", 10L, 1L, 111.0, "a"), ("k", 10L, 2L, 222.0, "b"),
+      ("m", 8L, 3L, 9.0, "c"))
+      .toDF("key", "ts", "seq", "v", "s")
+    val got = AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", "ts",
+      Seq("v", "s"), rightSeq = Some("seq"))
+      .select("pid", "v", "s").as[(Long, Option[Double], Option[String])]
+      .collect().map { case (k, v, s) => k -> ((v, s)) }.toMap
+    assert(got(1L) == ((Some(222.0), Some("b")))) // tie at ts=10: larger seq wins
+    assert(got(2L) == ((None, None))) // before any build row
+    assert(got(3L) == ((None, None))) // key with no build rows
+    assert(got(4L) == ((None, None))) // only build row (ts=8) is later than probe (ts=7)
+  }
+
+  test("broadcast as-of: null probe ts yields null values (parity with chunked)") {
+    val left = Seq((1L, "k", Some(10L)), (2L, "k", None))
+      .toDF("pid", "key", "ts")
+    val right = Seq(("k", 4L, 7.5)).toDF("key", "ts", "v")
+    for (df <- Seq(
+      AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", "ts", Seq("v")),
+      AsOfJoin.asof(left, right, Seq("key"), "ts", "ts", Seq("v")))) {
+      val got = df.select("pid", "v").as[(Long, Option[Double])].collect().toMap
+      assert(got == Map(1L -> Some(7.5), 2L -> None))
+    }
   }
 
   test("prometheus text parse: samples, labels, specials, comments") {
