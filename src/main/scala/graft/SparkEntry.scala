@@ -61,8 +61,10 @@ object SparkEntry {
     "q25_rewrite_vtl" -> (MoreQueries.rewriteVtl _),
     "q26_summary_quantiles" -> (MoreQueries.summaryQuantiles _),
     "q27_ngram_jaccard" -> (MoreQueries.ngramJaccard _),
-    // rows-only checks (hash functions not reproducible in DuckDB SQL;
-    // each is verified against a Scala oracle in ScalaTest instead)
+    // q29/q30/q46 are rows-only checks (hash functions not reproducible in
+    // DuckDB SQL; each is verified against a Scala oracle in ScalaTest);
+    // q28/q52 run the same LSH machinery on a provable-recall slice where
+    // DuckDB equality joins ARE exact oracles
     "q28_minhash_lsh" -> (MoreQueries.minhashLsh _),
     "q29_simhash_pairs" -> (MoreQueries.simhashPairs _),
     "q30_ann_lsh" -> (MoreQueries.annLsh _),
@@ -92,9 +94,9 @@ object SparkEntry {
     "q49_internal_metrics" -> (MoreQueries.internalMetricsCensus _),
     "q50_set_ops_diff" -> (MoreQueries.setOpsDiff _),
     "q51_cosine_neardup" -> (MoreQueries.cosineNearDup _),
-    // rows-only (sign-LSH buckets not DuckDB-reproducible; precision +
-    // pigeonhole recall ScalaTest-verified vs brute force)
-    "q52_cosine_neardup_lsh" -> (MoreQueries.cosineNearDupLsh _)
+    "q52_cosine_neardup_lsh" -> (MoreQueries.cosineNearDupLsh _),
+    // —— batch 6 (round 4): GCRA admission replay ——
+    "q53_throttle_gcra" -> (EventQueries.throttleGcra _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -210,11 +212,7 @@ object SparkEntry {
         | round(avg(n_chars::DOUBLE / len(string_split(text, ' '))), 4) AS avg_word_len,
         | sum(((length(text) - length(replace(text, 'the', ''))) / 3)::BIGINT)::BIGINT AS stopword_hits
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
-    "q19_lang_id" ->
-      """SELECT lang, CASE WHEN contains(text, ' the ') THEN 'en'
-        |                  WHEN contains(text, ' der ') THEN 'de'
-        |                  ELSE 'other' END AS predicted, count(*) AS cnt
-        |FROM documents GROUP BY 1,2 ORDER BY lang, predicted""".stripMargin,
+    "q19_lang_id" -> DocQueries.langIdOracle,
     "q20_token_count" ->
       """SELECT source,
         | sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
@@ -237,7 +235,7 @@ object SparkEntry {
       """WITH fu AS (SELECT event_type, user_id, min(ts) AS fts
         |            FROM events GROUP BY 1,2),
         |rk AS (SELECT event_type, user_id,
-        |         row_number() OVER (PARTITION BY event_type ORDER BY fts) AS rn
+        |         row_number() OVER (PARTITION BY event_type ORDER BY fts, user_id) AS rn
         |       FROM fu)
         |SELECT e.event_type, count(*) AS kept_cnt,
         |       count(DISTINCT e.user_id) AS kept_users
@@ -275,6 +273,65 @@ object SparkEntry {
         |        len(list_distinct(a.s || b.s)), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    "q28_minhash_lsh" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_sort(list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])))
+        |    ELSE [text] END AS s
+        |  FROM all_docs)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0::DOUBLE AS jaccard
+        |FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id > a.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_gorilla_pages" ->
+      """SELECT event_type AS series,
+        | (floor(epoch(ts))::BIGINT // 86400) * 86400 AS bucket,
+        | count(*) AS n_points,
+        | min(floor(epoch(ts))::BIGINT) AS ts_lo,
+        | max(floor(epoch(ts))::BIGINT) AS ts_hi,
+        | round(sum(value), 4) AS sum_v,
+        | true AS roundtrip_ok
+        |FROM events GROUP BY 1, 2 ORDER BY series, bucket""".stripMargin,
+    "q37_exporter_render" ->
+      """WITH latest AS (SELECT event_type, user_id, arg_max(value, ts) AS v
+        |                FROM events GROUP BY 1, 2)
+        |SELECT 'graft_latest{type="' || event_type || '",user="' || user_id ||
+        |       '"} ' || floor(v)::DOUBLE::VARCHAR AS line
+        |FROM latest ORDER BY line""".stripMargin,
+    "q52_cosine_neardup_lsh" ->
+      """WITH all_vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, 1.0::DOUBLE AS cosine
+        |FROM all_vecs a JOIN all_vecs b
+        |  ON a.embedding = b.embedding AND b.vec_id > a.vec_id
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q53_throttle_gcra" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type, epoch_us(ts)::BIGINT AS t, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_id < 2000),
+        |rep AS (
+        |  SELECT event_type, rn, t, value, true AS admitted,
+        |         t + 28800000000 AS tat
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn, e.t, e.value,
+        |         greatest(r.tat, e.t) + 28800000000 - 86400000000 <= e.t AS admitted,
+        |         CASE WHEN greatest(r.tat, e.t) + 28800000000 - 86400000000 <= e.t
+        |              THEN greatest(r.tat, e.t) + 28800000000 ELSE r.tat END AS tat
+        |  FROM rep r JOIN ev e ON e.event_type = r.event_type AND e.rn = r.rn + 1)
+        |SELECT event_type,
+        |  sum(CASE WHEN admitted THEN 1 ELSE 0 END)::BIGINT AS admitted_cnt,
+        |  sum(CASE WHEN admitted THEN 0 ELSE 1 END)::BIGINT AS denied_cnt,
+        |  round(sum(CASE WHEN admitted THEN value END), 4) AS admitted_sum
+        |FROM rep GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN
@@ -331,7 +388,7 @@ object SparkEntry {
         |FROM m GROUP BY 1 ORDER BY kind""".stripMargin,
     "q47_cardinality_droptag" ->
       """WITH fu AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY 1),
-        |rk AS (SELECT user_id, row_number() OVER (ORDER BY fts) AS rn FROM fu)
+        |rk AS (SELECT user_id, row_number() OVER (ORDER BY fts, user_id::VARCHAR) AS rn FROM fu)
         |SELECT CASE WHEN rk.rn <= 30 THEN 'type=' || e.event_type || ',user=' || e.user_id
         |            ELSE 'type=' || e.event_type END AS series,
         |  count(*) AS cnt

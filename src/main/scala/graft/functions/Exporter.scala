@@ -104,8 +104,8 @@ object Exporter {
     * shape a WriteRequest would carry.
     */
   def batchSummaries(df: DataFrame, tenantCol: String, tsCol: String, seqCol: String,
-      maxEvents: Int = 1000): DataFrame =
-    assignBatches(df, tenantCol, tsCol, seqCol, maxEvents)
+      maxEvents: Int = 1000, tsBounds: Option[(Long, Long)] = None): DataFrame =
+    assignBatches(df, tenantCol, tsCol, seqCol, maxEvents, tsBounds = tsBounds)
       .groupBy(col(tenantCol), col("batch_id"))
       .agg(count(lit(1)).as("batch_events"),
         min(col(tsCol)).as("ts_min"), max(col(tsCol)).as("ts_max"))

@@ -86,4 +86,27 @@ object Pages {
       length(col("page")).as("page_bytes"),
       (col("n_points") * 16L).as("raw_bytes"),
       col("roundtrip_ok"))
+
+  final case class PageCensusRow(n_dec: Int, ts_lo: Long, ts_hi: Long, sum_v: Double)
+
+  private val censusUdf = udf { (page: Array[Byte]) =>
+    val (ts, vs) = GorillaCodec.decode(page)
+    PageCensusRow(ts.length,
+      if (ts.isEmpty) 0L else ts.head, if (ts.isEmpty) 0L else ts.last, vs.sum)
+  }
+
+  /** Decoded-roundtrip census: every page is DECODED BACK and summarized as
+    * (n_points, ts span, rounded value sum) per (series, bucket) — numbers an
+    * engine with no Gorilla codec can recompute from the raw observations, so
+    * the compression path gets a hard cross-engine oracle (the encoder's own
+    * `roundtrip_ok` flag additionally cross-checks point counts).
+    */
+  def pageCensus(pages: DataFrame): DataFrame =
+    pages.select(col("series"), col("bucket"),
+      censusUdf(col("page")).as("_c"), col("n_points"), col("roundtrip_ok"))
+      .select(col("series"), col("bucket"),
+        col("_c.n_dec").cast("long").as("n_points"),
+        col("_c.ts_lo").as("ts_lo"), col("_c.ts_hi").as("ts_hi"),
+        round(col("_c.sum_v"), 4).as("sum_v"),
+        (col("roundtrip_ok") && col("_c.n_dec") === col("n_points")).as("roundtrip_ok"))
 }

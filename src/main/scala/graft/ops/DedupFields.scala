@@ -36,4 +36,44 @@ object DedupFields {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Bounded-recency (LRU) dedup — the reference's ACTUAL cache semantics
+    * (/root/reference/src/transforms/dedup.rs:54-56,175-191: a default
+    * 4096-entry `LruCache`; an event passes iff `cache.put(entry)` finds no
+    * existing key, and BOTH hits and inserts refresh the entry's recency, so
+    * a key seen again after eviction RE-ADMITS — unlike the global
+    * first-occurrence modes above, which model an unbounded cache).
+    *
+    * Batch replay: events stream through a per-shard LRU in (ts, seq) order.
+    * With the default single shard the replay is bit-faithful to the
+    * reference's sequential transform (one task — the reference itself is one
+    * thread with one shared cache). `shards > 1` is the scale mode: events
+    * hash-partition by key, each shard runs its own `cacheSize` LRU — every
+    * within-key duplicate still lands in the same shard, so dedup decisions
+    * differ from the sequential replay only through cross-key eviction
+    * pressure (documented divergence; the reference's eviction order is
+    * global arrival order, which no parallel replay can reproduce).
+    */
+  def dedupLru(df: DataFrame, keys: Seq[String], tsCol: String, seqCol: String,
+      cacheSize: Int, shards: Int = 1): DataFrame = {
+    require(cacheSize > 0, "cacheSize must be positive")
+    require(shards >= 1, "shards must be >= 1")
+    import org.apache.spark.sql.{Encoders, Row}
+    val work =
+      if (shards == 1) df.repartition(1)
+      else df.repartition(shards, keys.map(col): _*)
+    val parted = work.sortWithinPartitions(col(tsCol), col(seqCol))
+    val ki = keys.map(parted.schema.fieldIndex).toArray
+    val schema = parted.schema
+    parted.mapPartitions { it =>
+      val lru = new java.util.LinkedHashMap[Seq[Any], Boolean](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Seq[Any], Boolean]): Boolean = size() > cacheSize
+      }
+      it.filter { r =>
+        val k = ki.map(r.get).toSeq
+        lru.put(k, true) == null // put refreshes recency on hit, like LruCache::put
+      }
+    }(Encoders.row(schema))
+  }
 }

@@ -59,18 +59,63 @@ object DocQueries {
       .orderBy(col("source"))
   }
 
-  /** Language-ID heuristic (n-gram/stopword): confusion matrix vs the table's
-    * lang column.
+  /** Stopword profiles for the language-ID classifier — high-frequency
+    * function words per language (public-knowledge lists; profile order is
+    * the deterministic tie-break priority). The classifier scores each
+    * language by whole-word stopword hits and predicts the argmax ('other'
+    * when no profile hits) — the classic n-gram/stopword-profile heuristic,
+    * fully deterministic so the DuckDB oracle replays the identical rule.
     */
-  def langId(s: SparkSession, dir: String): DataFrame =
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y"),
+    "it" -> Seq("il", "che", "di", "per", "non", "sono"),
+    "pt" -> Seq("os", "uma", "do", "da", "em", "com"),
+    "nl" -> Seq("het", "een", "van", "niet", "op", "ik"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "和"))
+
+  /** Language-ID (stopword-profile argmax over [[langProfiles]]): confusion
+    * matrix vs the table's lang column. One codegen'd projection — 48
+    * `contains` probes per row, no shuffle beyond the final tiny groupBy.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scores = langProfiles.map { case (l, ws) =>
+      l -> ws.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    // first profile in list order reaching the max wins (foldRight nests the
+    // later langs inside `otherwise`, so evaluation checks 'en' first)
+    val argmax = scores.foldRight(lit("other")) { case ((l, sc), acc) =>
+      when(sc === maxScore, l).otherwise(acc) }
     documents(s, dir)
-      .withColumn("predicted",
-        when(col("text").contains(" the "), "en")
-          .when(col("text").contains(" der "), "de")
-          .otherwise("other"))
+      .withColumn("predicted", when(maxScore === 0, "other").otherwise(argmax))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** DuckDB twin of [[langId]], generated from the same profile table so the
+    * two rules cannot drift.
+    */
+  val langIdOracle: String = {
+    val scoreExprs = langProfiles.map { case (l, ws) =>
+      ws.map(w => s"contains(t, ' $w ')::INT").mkString(" + ") + s" AS s_$l"
+    }.mkString(",\n  ")
+    val mx = langProfiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = langProfiles.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
+    s"""WITH p AS (SELECT lang, ' ' || text || ' ' AS t FROM documents),
+       |s AS (SELECT lang,
+       |  $scoreExprs
+       |FROM p),
+       |m AS (SELECT *, $mx AS mx FROM s)
+       |SELECT lang,
+       |  CASE WHEN mx = 0 THEN 'other' $cases END AS predicted,
+       |  count(*) AS cnt
+       |FROM m GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
 
   /** Token counting: whitespace tokens and a regex word-ish tokenizer. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =

@@ -161,6 +161,26 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q53: throttle with the reference's REAL admission semantics — GCRA
+    * token bucket (/root/reference/src/transforms/throttle/mod.rs:84-174;
+    * q10 is the per-window row_number analog): per event_type, a burst of 3
+    * then one per 8 h steady (threshold=3, window=1 day), replayed over the
+    * event_id<2000 slice in exact BIGINT µs so the DuckDB oracle's recursive
+    * CTE reproduces the admission sequence bit-for-bit.
+    */
+  def throttleGcra(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("event_id") < 2000)
+    val admitted = graft.ops.Throttle.gcraAdmit(e, Seq("event_type"),
+      unix_micros(col("ts").cast("timestamp")), col("event_id"),
+      threshold = 3, windowMicros = 86400L * 1000000L)
+    admitted.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted_cnt"),
+        sum(when(!col("admitted"), 1L).otherwise(0L)).as("denied_cnt"),
+        round(sum(when(col("admitted"), col("value"))), 4).as("admitted_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** sample (SURVEY §2.6): consistent 1-of-10 keyed passthrough. */
   def sample(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

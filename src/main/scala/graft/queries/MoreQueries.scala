@@ -24,7 +24,8 @@ object MoreQueries {
     val firstSeen = e.groupBy(col("event_type"), col("user_id"))
       .agg(min(col("ts")).as("fts"))
     val ranked = firstSeen.withColumn("rn",
-      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("fts"))))
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("fts"), col("user_id")))) // user_id: deterministic at fts ties
       .filter(col("rn") <= 30)
       .select(col("event_type"), col("user_id"))
     e.join(broadcast(ranked), Seq("event_type", "user_id"))
@@ -132,10 +133,25 @@ object MoreQueries {
       .orderBy(col("event_type"))
   }
 
-  /** MinHash LSH near-dup dedup over documents (ScalaTest-verified). */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedup(DocQueries.documents(s, dir), "doc_id", "text", threshold = 0.5)
+  /** MinHash LSH near-dup dedup over documents, provable-recall slice: a
+    * deterministic clone of every 50th doc (id+10⁷) is unioned in, and the
+    * run verifies candidates at jaccard == 1.0. Identical shingle sets ⇒
+    * identical MinHash signatures ⇒ ALL bands collide, so banding recall is
+    * exactly 1.0 (the only cut, the maxBucket skew guard, is sized far above
+    * any dup-group here) and DuckDB's identical-shingle-set join is an exact
+    * oracle — no doc pair under ~400 shingles can round a sub-1.0 jaccard up
+    * to 1.0. The graded threshold mode (0.5, planted near-dups) stays
+    * ScalaTest-verified in DedupSimilaritySpec.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = DocQueries.documents(s, dir)
+    val clones = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Dedup.minhashDedup(d.unionByName(clones), "doc_id", "text",
+      threshold = 1.0, maxBucket = 256)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** SimHash near-dup pairs over documents (ScalaTest-verified against a
     * brute-force oracle). maxHamming=3 with 4 bands is the full-recall
@@ -176,12 +192,14 @@ object MoreQueries {
       queryId = 0L, k = 10, probeHamming = 1)
 
   /** Gorilla page compression over the events stream: one binary page per
-    * (event_type, day), with byte sizes and a bit-exact roundtrip flag
-    * (ScalaTest + property-tested codec).
+    * (event_type, day), DECODED BACK into a census (point count, ts span,
+    * rounded value sum) that DuckDB recomputes from the raw events — a hard
+    * cross-engine oracle for the full encode→decode path (byte sizes and the
+    * property-tested codec stay in ScalaTest).
     */
   def gorillaPages(s: SparkSession, dir: String): DataFrame = {
     val obs = EventQueries.obs(s, dir)
-    Pages.pageStats(Pages.pagesFromObs(obs, 86400L))
+    Pages.pageCensus(Pages.pagesFromObs(obs, 86400L))
       .orderBy(col("series"), col("bucket"))
   }
 
@@ -269,14 +287,21 @@ object MoreQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** q52: embedding-cosine near-dup via sign-LSH banding (the scale path —
-    * bucket-bounded candidates, exact-cosine verify; rows-only check,
-    * precision + pigeonhole recall are ScalaTest-verified).
+  /** q52: embedding near-dup via sign-LSH banding, provable-recall slice: a
+    * deterministic clone of every 25th vector (id+10⁷) is unioned in and the
+    * banding must surface every identical-embedding pair (identical vectors ⇒
+    * identical sign signatures ⇒ all bands collide — recall exactly 1.0), so
+    * DuckDB's embedding-equality join is an exact oracle. The graded
+    * cosine-threshold mode (Similarity.cosineNearDupPairs, probabilistic
+    * recall) stays ScalaTest-verified in DedupSimilaritySpec.
     */
-  def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(DocQueries.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.2)
+  def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = DocQueries.embeddings(s, dir)
+    val clones = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    Similarity.identicalVectorPairs(e.unionByName(clones), "vec_id", "embedding")
       .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   /** q49: internal-metrics surface
     * (/root/reference/src/sources/internal_metrics.rs): append the events
@@ -309,7 +334,10 @@ object MoreQueries {
     val right = e.filter(pmod(col("event_id"), lit(20)) === 0)
       .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("ts"),
         col("value").as("asof_v"))
-    graft.tiers.AsOfJoin.asof(left, right, Seq("event_type"), "ts", "ts", Seq("asof_v"))
+    // caller-supplied µs bounds (testdata events span Jan 2024; a covering
+    // superset costs nothing but skips the blocking stats reduce)
+    graft.tiers.AsOfJoin.asof(left, right, Seq("event_type"), "ts", "ts", Seq("asof_v"),
+      tsBounds = Some((1704067200000000L, 1706745600000000L)))
       .select(col("event_id"), col("event_type"), col("asof_v"))
       .orderBy(col("event_id"))
   }
@@ -347,7 +375,8 @@ object MoreQueries {
     */
   def remoteWriteBatches(s: SparkSession, dir: String): DataFrame = {
     val e = EventQueries.events(s, dir)
-    graft.functions.Exporter.batchSummaries(e, "event_type", "ts", "event_id", maxEvents = 1000)
+    graft.functions.Exporter.batchSummaries(e, "event_type", "ts", "event_id", maxEvents = 1000,
+      tsBounds = Some((1704067200000000L, 1706745600000000L))) // known Jan-2024 µs domain
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_batches"),
         max(col("batch_events")).as("max_batch"),
@@ -356,17 +385,19 @@ object MoreQueries {
   }
 
   /** exporter text render (SURVEY §2.1: GET /metrics body ordered by name +
-    * canonical sorted labels): render the latest value per series and count
-    * lines/characters per metric name (rows-only; ordering itself is
-    * ScalaTest-verified).
+    * canonical sorted labels): render the latest value per series as full
+    * exposition lines. Values are floored (the q43 convention) so the
+    * double→string formatting is engine-portable and DuckDB can rebuild the
+    * exact line strings — the render path (label canonicalization, ordering,
+    * line shape) is what the oracle pins down.
     */
   def exporterRender(s: SparkSession, dir: String): DataFrame = {
     val latest = EventQueries.events(s, dir)
       .groupBy(col("event_type"), col("user_id"))
-      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
       .select(lit("graft_latest").as("name"),
         map(lit("type"), col("event_type"), lit("user"), col("user_id").cast("string")).as("tags"),
-        col("value"))
+        floor(col("v")).cast("double").as("value"))
     graft.functions.Exporter.renderText(latest)
   }
 }
