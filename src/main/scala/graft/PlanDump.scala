@@ -47,6 +47,20 @@ object PlanDump {
     println("==== q32 multimodal decode ====")
     queries.MoreQueries.multimodalDecode(spark, "/root/testdata/sf0.01").explain("formatted")
 
+    println("==== bench as-of shape (probe-carry pruning check) ====")
+    locally {
+      import org.apache.spark.sql.functions._
+      val obs = queries.EventQueries.obs(spark, "/root/testdata/sf0.01")
+        .select(col("series").as("source"), col("ts"), col("seq"), col("value"))
+      val probe = obs.drop("value")
+      val build = obs.filter(pmod(col("seq"), lit(997L)) === 0)
+        .withColumnRenamed("value", "asof_v")
+      tiers.AsOfJoin.asof(probe, build, Seq("source"), "ts", "ts", Seq("asof_v"),
+        numChunks = 8, rightSeq = Some("seq"))
+        .agg(count(col("asof_v")), count(lit(1)))
+        .explain("formatted")
+    }
+
     spark.stop()
   }
 }

@@ -95,8 +95,9 @@ object SparkEntry {
     "q50_set_ops_diff" -> (MoreQueries.setOpsDiff _),
     "q51_cosine_neardup" -> (MoreQueries.cosineNearDup _),
     "q52_cosine_neardup_lsh" -> (MoreQueries.cosineNearDupLsh _),
-    // —— batch 6 (round 4): GCRA admission replay ——
-    "q53_throttle_gcra" -> (EventQueries.throttleGcra _)
+    // —— batch 6 (round 4): GCRA admission replay + counter-mode sample ——
+    "q53_throttle_gcra" -> (EventQueries.throttleGcra _),
+    "q54_sample_counter" -> (EventQueries.sampleCounter _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -332,6 +333,12 @@ object SparkEntry {
         |  sum(CASE WHEN admitted THEN 0 ELSE 1 END)::BIGINT AS denied_cnt,
         |  round(sum(CASE WHEN admitted THEN value END), 4) AS admitted_sum
         |FROM rep GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q54_sample_counter" ->
+      """WITH r AS (SELECT event_type, value,
+        |  row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
+        |FROM r WHERE (rn - 1) % 20 = 0 GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

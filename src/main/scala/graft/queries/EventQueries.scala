@@ -189,6 +189,26 @@ object EventQueries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
       .orderBy(col("event_type"))
 
+  /** q54: sample, COUNTER mode — the reference's round-robin counter
+    * (/root/reference/src/transforms/sample.rs:87-100: every Nth event in
+    * arrival order passes, independent of any key) replayed deterministically
+    * as every Nth rank in (ts, event_id) order. The global rank reuses the
+    * remote-write two-level packing (Exporter.assignBatches with a constant
+    * tenant and maxEvents=1 makes batch_id the zero-based rank): per-chunk
+    * counts → cumulative offsets over a chunks-sized frame + a local
+    * row_number — parallelism numChunks, never one global sort task. q11
+    * stays the hash (key) mode.
+    */
+  def sampleCounter(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("_all", lit("all"))
+    graft.functions.Exporter.assignBatches(e, "_all", "ts", "event_id", maxEvents = 1,
+      tsBounds = Some((1704067200000000L, 1706745600000000L))) // known Jan-2024 µs domain
+      .filter(pmod(col("batch_id"), lit(20)) === 0) // ranks 1, 21, 41, …
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
   /** route (SURVEY §2.6): N predicate ports + _unmatched, non-exclusive in the
     * reference; here each event lands in its first matching route (CASE) so
     * the result is a partition — counts per port.

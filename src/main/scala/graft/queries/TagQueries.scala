@@ -76,6 +76,10 @@ object TagQueries {
         tagPaths = Map("type" -> "col:event_type"), buckets = Seq(25.0, 50.0, 75.0, 100.0)),
       MetricSpec("k_events", "counter", "$.k", incrementByValue = false,
         tagPaths = Map("type" -> "col:event_type")))
+    // no ordBounds here: a loose superset would collapse the ord chunks (the
+    // event_id domain is SF-dependent) — the one tiny stats reduce is the
+    // right trade; callers that KNOW their ord window (the bench, partition
+    // replays) pass ordBounds
     metricalize(e, "props", specs, col("event_id"))
       .select(col("name"), graft.functions.TagOps.canonicalTags(col("tags")).as("series"),
         col("kind"), round(col("m_sum"), 4).as("m_sum"), col("m_count"),
