@@ -65,6 +65,46 @@ object StreamRollup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming GCRA throttle — the reference transform's native form
+    * (/root/reference/src/transforms/throttle/mod.rs:84-174: one TAT state
+    * per key across the whole stream): per-key theoretical-arrival-time
+    * carried across micro-batches in `GroupState[Long]`, events replayed in
+    * (t, seq) order within each batch (exact integer-µs math, same rule as
+    * the batch `ops.Throttle.gcraAdmit`). State is ONE long per key —
+    * bounded by key cardinality, no timeout needed (an idle key's stale tat
+    * behaves exactly like a fresh state, the same reason the reference's
+    * `retain_recent` GC is semantics-free).
+    *
+    * Input stream: (key: string, t: long µs, seq: long). Output: admitted
+    * rows only (the reference drops excess events), append-mode compatible.
+    */
+  def throttleGcraStream(events: DataFrame, threshold: Int, windowMicros: Long): DataFrame = {
+    require(threshold > 0 && windowMicros >= threshold, "bad GCRA quota")
+    val tau = windowMicros / threshold
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("key").cast("string"), col("t").cast("long"), col("seq").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var tat = state.getOption.getOrElse(Long.MinValue)
+          val admitted = it.toArray.sortBy(e => (e._2, e._3)).iterator.filter { e =>
+            val t = e._2
+            val tat0 = if (tat == Long.MinValue) t else math.max(tat, t)
+            val newTat = tat0 + tau
+            val ok = newTat - windowMicros <= t
+            if (ok) tat = newTat
+            ok
+          }.toVector
+          state.update(tat)
+          admitted.iterator
+      }
+      .toDF("key", "t", "seq")
+  }
+
   /** Checkpointed streaming delivery into the lake (the reference's
     * acknowledged, resumable sink path: disk-buffer ledger + finalizers,
     * /root/reference/lib/buffer/src/disk/ledger.rs:36-47 + lib/finalize/):

@@ -109,4 +109,34 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
     assert(lake.read().count() == 3)
   }
+
+  test("streaming GCRA throttle carries per-key TAT state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Long)]
+    val events = stream.toDF().toDF("key", "t", "seq")
+    // threshold 2 per 5 s: batch 1 spends the burst, batch 2's early event
+    // must still be denied from the carried state, the later one admitted
+    val out = StreamRollup.throttleGcraStream(events, threshold = 2,
+      windowMicros = 5000000L)
+    val q = out.writeStream.format("memory").queryName("gcra_out")
+      .outputMode("append").start()
+    stream.addData(Seq(("k", 0L, 1L), ("k", 1000000L, 2L), ("k", 2000000L, 3L)))
+    q.processAllAvailable()
+    // e4 lands before the carried tat refills a slot (denied from state),
+    // e5 after (admitted); "j" has its own limiter, independent state
+    stream.addData(Seq(("k", 2400000L, 4L), ("k", 5000000L, 5L), ("j", 2400000L, 6L)))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.table("gcra_out").select("seq").as[Long].collect().sorted.toSeq
+    // batch replay of the same 6 events must agree exactly (state carry works)
+    val batchDf = Seq(("k", 0L, 1L), ("k", 1000000L, 2L), ("k", 2000000L, 3L),
+      ("k", 2400000L, 4L), ("k", 5000000L, 5L), ("j", 2400000L, 6L)).toDF("key", "t", "seq")
+    import org.apache.spark.sql.functions.col
+    val batchAdmitted = graft.ops.Throttle.gcraAdmit(batchDf, Seq("key"),
+      col("t"), col("seq"), 2, 5000000L)
+      .filter(col("admitted")).select("seq").as[Long].collect().sorted.toSeq
+    assert(admitted == batchAdmitted)
+    assert(admitted == Seq(1L, 2L, 5L, 6L)) // 3,4 denied: burst spent, not yet refilled
+  }
 }
