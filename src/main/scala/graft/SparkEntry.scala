@@ -97,7 +97,8 @@ object SparkEntry {
     "q52_cosine_neardup_lsh" -> (MoreQueries.cosineNearDupLsh _),
     // —— batch 6 (round 4): GCRA admission replay + counter-mode sample ——
     "q53_throttle_gcra" -> (EventQueries.throttleGcra _),
-    "q54_sample_counter" -> (EventQueries.sampleCounter _)
+    "q54_sample_counter" -> (EventQueries.sampleCounter _),
+    "q55_winnow_fingerprint" -> (DocQueries.winnowFingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -333,6 +334,7 @@ object SparkEntry {
         |  sum(CASE WHEN admitted THEN 0 ELSE 1 END)::BIGINT AS denied_cnt,
         |  round(sum(CASE WHEN admitted THEN value END), 4) AS admitted_sum
         |FROM rep GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q55_winnow_fingerprint" -> DocQueries.winnowFingerprintOracle,
     "q54_sample_counter" ->
       """WITH r AS (SELECT event_type, value,
         |  row_number() OVER (ORDER BY ts, event_id) AS rn

@@ -134,6 +134,38 @@ object DocQueries {
       .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** q55: ROLLING-hash fingerprinting by winnowing (graft.ops.Winnow —
+    * SIGMOD'03): per doc, k-gram polynomial hashes (base 257 mod 1e9+7,
+    * exact BIGINT math) → distinct window-of-16 minima. The DuckDB oracle
+    * replays the identical arithmetic with list lambdas, so the whole
+    * fingerprint pipeline — not just a summary — is cross-engine-pinned
+    * (q21 stays the whole-content-hash mode).
+    */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), graft.ops.Winnow.statsCol(col("text")).as("f"))
+      .select(col("doc_id"), col("f.n_kgrams").as("n_kgrams"),
+        col("f.n_fps").as("n_fps"), col("f.min_fp").as("min_fp"),
+        col("f.fp_sum").as("fp_sum"))
+      .orderBy(col("doc_id"))
+
+  val winnowFingerprintOracle: String =
+    """WITH g AS (SELECT doc_id,
+      |  CASE WHEN length(text) >= 8 THEN
+      |    list_transform(generate_series(1, length(text)-7), i ->
+      |      list_reduce(list_transform(generate_series(0, 7),
+      |          j -> unicode(substring(text, i+j, 1))::BIGINT),
+      |        (h, c) -> (h*257 + c) % 1000000007))
+      |  ELSE [] END AS hs FROM documents),
+      |w AS (SELECT doc_id, len(hs)::BIGINT AS n_kgrams,
+      |  CASE WHEN len(hs) = 0 THEN []
+      |  ELSE list_distinct(list_transform(generate_series(1, greatest(len(hs)-15, 1)), i ->
+      |    list_min(hs[i:least(i+15, len(hs))]))) END AS fps FROM g)
+      |SELECT doc_id, n_kgrams, len(fps)::BIGINT AS n_fps,
+      |  CASE WHEN len(fps) = 0 THEN NULL ELSE list_min(fps) END AS min_fp,
+      |  CASE WHEN len(fps) = 0 THEN NULL ELSE list_sum(fps)::BIGINT END AS fp_sum
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** Brute-force cosine similarity of every embedding against the vec_id=0
     * query vector (similarity-search baseline). Double-precision math via
     * zip_with + aggregate; rounded for cross-engine hash parity.

@@ -265,6 +265,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(decodeWav(encodeBmp(10, 10, 24)) == None)
   }
 
+  test("winnowing fingerprints: brute-force parity, edges, substring-match guarantee") {
+    import graft.ops.Winnow
+    // brute-force oracle in plain Scala over random strings
+    val rnd = new scala.util.Random(5)
+    def brute(t: String, k: Int, w: Int): (Long, Seq[Long]) = {
+      val cps = t.codePoints().toArray
+      if (cps.length < k) return (0L, Nil)
+      val hs = (0 to cps.length - k).map { i =>
+        cps.slice(i, i + k).foldLeft(0L)((h, c) => (h * 257 + c) % 1000000007L)
+      }
+      val nw = math.max(1, hs.length - w + 1)
+      (hs.length.toLong, (0 until nw).map(i => hs.slice(i, math.min(i + w, hs.length)).min)
+        .distinct.sorted)
+    }
+    for (_ <- 1 to 20) {
+      val t = (0 until rnd.nextInt(120)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val (nk, fps) = brute(t, 8, 16)
+      val got = Winnow.stats(t, 8, 16)
+      assert(got.n_kgrams == nk && got.n_fps == fps.size &&
+        got.min_fp == fps.headOption && got.fp_sum == (if (fps.isEmpty) None else Some(fps.sum)),
+        s"text=$t")
+      assert(Winnow.fingerprints(t, 8, 16).toSeq == fps)
+    }
+    // edges: null, empty, shorter than k, exactly k
+    assert(Winnow.stats(null, 8, 16) == Winnow.WinnowStats(0, 0, None, None))
+    assert(Winnow.stats("1234567", 8, 16) == Winnow.WinnowStats(0, 0, None, None))
+    assert(Winnow.stats("12345678", 8, 16).n_kgrams == 1L)
+    // SIGMOD'03 guarantee: a shared substring of length >= w + k - 1 (= 23)
+    // yields at least one shared fingerprint, however different the rest is
+    val shared = "the quick brown fox jumps!" // 26 chars
+    val a = "A" * 40 + shared + "B" * 40
+    val b = "x9" * 25 + shared + "qq" * 30
+    val fa = Winnow.fingerprints(a, 8, 16).toSet
+    val fb = Winnow.fingerprints(b, 8, 16).toSet
+    assert(fa.intersect(fb).nonEmpty, "w+k-1 substring match must share a fingerprint")
+    // and two disjoint-alphabet docs share nothing
+    val fc = Winnow.fingerprints("z" * 100, 8, 16).toSet
+    assert(fa.intersect(fc).isEmpty)
+  }
+
   test("cardinality DropTag: rejected values lose the tag, events keep flowing") {
     import graft.ops.CardinalityLimit
     // arrival order (ord): users u1, u2 accepted (limit 2); u3 rejected
