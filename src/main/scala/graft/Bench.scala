@@ -294,7 +294,7 @@ object Bench {
     * accumulated), so each shot gets a clean process, like separate
     * spark-submit runs.
     */
-  private def runLevel(cpus: Int, rawPath: String, budgetSec: Double, phases: String)
+  private def runLevel(cpus: Int, rawPath: String, phases: String)
       : LevelResult = {
     val doCascade = phases.startsWith("cascade") || phases == "all"
     val doOps = phases == "ops1" || phases == "all"
@@ -364,8 +364,7 @@ object Bench {
     * output through (so BENCH_PARTIAL evidence reaches the driver log live)
     * and parse its LEVEL_RESULT line.
     */
-  private def runLevelForked(cpus: Int, rawPath: String, budgetSec: Double,
-      phases: String): LevelResult = {
+  private def runLevelForked(cpus: Int, rawPath: String, phases: String): LevelResult = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
@@ -373,7 +372,7 @@ object Bench {
         a.startsWith("-D"))
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"), "graft.Bench",
-      "level", cpus.toString, rawPath, f"$budgetSec%.0f", phases)
+      "level", cpus.toString, rawPath, phases)
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
@@ -401,9 +400,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "level") {
-      val budget = if (args.length >= 4) args(3).toDouble else 600.0
-      val phases = if (args.length >= 5) args(4) else "all"
-      val r = runLevel(args(1).toInt, args(2), budget, phases)
+      val phases = if (args.length >= 4) args(3) else "all"
+      val r = runLevel(args(1).toInt, args(2), phases)
       println(s"LEVEL_RESULT ${args(1)} ${r.n} ${r.cascade} ${r.asof} ${r.mz} ${r.asofBcast} ${r.cpu}")
       return
     }
@@ -444,7 +442,9 @@ object Bench {
     val maxCascRounds = 3
     val maxOpsRounds = 2
 
-    var cascRounds = List.empty[(Double, Double)] // (lo, hi) cascade secs
+    var cascRounds = List.empty[(Double, Double)] // completed (lo, hi) pairs
+    var cascLoSecs = List.empty[Double] // every successful lo/hi shot, even
+    var cascHiSecs = List.empty[Double] // from a round whose other side died
     var opsRounds = List.empty[(LevelResult, LevelResult)]
     var nSeq = 0L
     var (cascCost, opsCost) = (0.0, 0.0) // measured wall of the last pair
@@ -457,9 +457,14 @@ object Bench {
           (cascRounds.isEmpty || left > cascCost * 1.1)) {
         val t0 = elapsedSec
         try {
-          val lo = runLevelForked(loL, rawPath, math.max(60.0, left * 0.7), "cascade1")
-          val hi = runLevelForked(hiL, rawPath, math.max(60.0, left * 0.5), "cascade2")
+          val lo = runLevelForked(loL, rawPath, "cascade1")
+          // lo results are banked BEFORE the hi child runs: a crashed hi
+          // child must not erase a fully-measured multi-minute lo shot from
+          // the machine-read record (it still has no ratio, only sec/rows)
           nSeq = math.max(nSeq, lo.n)
+          cascLoSecs ::= lo.cascade
+          val hi = runLevelForked(hiL, rawPath, "cascade2")
+          cascHiSecs ::= hi.cascade
           cascRounds ::= ((lo.cascade, hi.cascade))
           val eff = (lo.cascade / hi.cascade) / ratio
           partial(f"""{"phase":"cascade_round","n":${cascRounds.size},"lo":${lo.cascade}%.2f,"hi":${hi.cascade}%.2f,"eff":$eff%.3f,"elapsed":$elapsedSec%.2f}""")
@@ -475,8 +480,8 @@ object Bench {
           (opsRounds.isEmpty || left > opsCost * 1.1)) {
         val t0 = elapsedSec
         try {
-          val lo = runLevelForked(loL, rawPath, math.max(60.0, left * 0.7), "ops1")
-          val hi = runLevelForked(hiL, rawPath, math.max(60.0, left * 0.5), "ops1")
+          val lo = runLevelForked(loL, rawPath, "ops1")
+          val hi = runLevelForked(hiL, rawPath, "ops1")
           if (nSeq == 0L) nSeq = lo.n
           opsRounds ::= ((lo, hi))
           partial(f"""{"phase":"ops_round","n":${opsRounds.size},"asof_lo":${lo.asof}%.2f,"asof_hi":${hi.asof}%.2f,"mz_lo":${lo.mz}%.2f,"mz_hi":${hi.mz}%.2f,"bcast_lo":${lo.asofBcast}%.2f,"bcast_hi":${hi.asofBcast}%.2f,"cpu_lo":${lo.cpu}%.2f,"cpu_hi":${hi.cpu}%.2f,"elapsed":$elapsedSec%.2f}""")
@@ -502,8 +507,8 @@ object Bench {
     }
     def minOf(xs: Seq[Double]): Double =
       xs.filter(_ > 0) match { case Nil => -1.0; case ys => ys.min }
-    val tLo = minOf(cascRounds.map(_._1))
-    val tHi = minOf(cascRounds.map(_._2))
+    val tLo = minOf(cascLoSecs)
+    val tHi = minOf(cascHiSecs)
     val eff = pairedEff(cascRounds)
     val aLo = minOf(opsRounds.map(_._1.asof))
     val aHi = minOf(opsRounds.map(_._2.asof))

@@ -300,11 +300,13 @@ object SparkEntry {
         | true AS roundtrip_ok
         |FROM events GROUP BY 1, 2 ORDER BY series, bucket""".stripMargin,
     "q37_exporter_render" ->
-      """WITH latest AS (SELECT event_type, user_id, arg_max(value, ts) AS v
-        |                FROM events GROUP BY 1, 2)
+      """WITH r AS (SELECT event_type, user_id, value,
+        |  row_number() OVER (PARTITION BY event_type, user_id
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
         |SELECT 'graft_latest{type="' || event_type || '",user="' || user_id ||
-        |       '"} ' || floor(v)::DOUBLE::VARCHAR AS line
-        |FROM latest ORDER BY line""".stripMargin,
+        |       '"} ' || floor(value)::DOUBLE::VARCHAR AS line
+        |FROM r WHERE rn = 1 ORDER BY line""".stripMargin,
     "q52_cosine_neardup_lsh" ->
       """WITH all_vecs AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -109,8 +109,10 @@ object Multimodal {
     else {
       // height is SIGNED in BITMAPINFOHEADER: a negative value is a legal
       // top-down BMP — report its magnitude, never a negative pixel count
+      // (Int.MinValue has no positive magnitude: reject it as malformed)
       val w = le32(b, 18); val h = le32(b, 22); val bpp = le16(b, 28)
-      if (w <= 0 || h == 0 || bpp <= 0) None else Some((w, math.abs(h), bpp))
+      if (w <= 0 || h == 0 || h == Int.MinValue || bpp <= 0) None
+      else Some((w, math.abs(h), bpp))
     }
 
   /** Parse a WAV header: Some((sampleRate, channels, durationMs)) or None. */

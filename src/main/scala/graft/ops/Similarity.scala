@@ -68,6 +68,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Shared sign-LSH banding machinery: signature projection, band-bucket
+    * shuffle (oversize buckets cut by the `maxBucket` skew guard — AUDITED:
+    * the cut census is computed and logged, never silent), per-bucket pair
+    * explosion bounded by maxBucket², distinct candidate pairs, and the
+    * id-keyed join back to the vectors. Both verify modes below are filters
+    * over this one pipeline so banding fixes cannot drift between them.
+    */
+  private def signBandCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, bands: Int, maxBucket: Int, dim: Int): DataFrame = {
+    require(nBits % bands == 0 && nBits <= 63, s"bands=$bands must divide nBits=$nBits (< 64)")
+    val bits = nBits / bands
+    val mask = (1L << bits) - 1
+    val planes = hyperplanes(nBits, dim)
+    val sigs = emb.select(col(idCol).as("doc"),
+      lshBucket(col(vecCol), planes).as("_sig"))
+    val banded = sigs
+      .select(col("doc"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("_sig"), b * bits).bitwiseAND(mask).as("key"))): _*)).as("b"))
+      .groupBy(col("b.band"), col("b.key"))
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+    val dropped = banded
+      .filter(size(col("docs")) > maxBucket)
+      .agg(count(lit(1)), coalesce(sum(size(col("docs"))), lit(0L))).head()
+    if (dropped.getLong(0) > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"sign-LSH skew guard dropped ${dropped.getLong(0)} buckets > $maxBucket docs " +
+          s"(${dropped.getLong(1)} doc slots) — raise nBits (wider band keys) or maxBucket")
+    val cands = banded
+      .filter(size(col("docs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("docs"),
+        (x, i) => transform(slice(col("docs"), i + 2, size(col("docs"))),
+          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+    val v = emb.select(col(idCol).as("doc"), col(vecCol).as("vec"))
+    cands
+      .join(v.withColumnRenamed("doc", "vec_a").withColumnRenamed("vec", "_va"), "vec_a")
+      .join(v.withColumnRenamed("doc", "vec_b").withColumnRenamed("vec", "_vb"), "vec_b")
+  }
+
   /** Embedding-cosine NEAR-DUP PAIRS (the dedup-mode complement of the
     * top-k search): all pairs with cosine >= `threshold`, found via
     * sign-LSH banding — the `nBits`-bit hyperplane-sign signature is split
@@ -79,85 +120,37 @@ object Similarity {
     * sign hamming of a pair is probabilistic in its angle (E[h] =
     * nBits·θ/π, Charikar STOC'02), so cosine-threshold recall is
     * probabilistic: raise `bands` (or lower nBits) for more recall, at the
-    * cost of wider buckets. Oversize buckets (> maxBucket) are excluded
-    * from pair generation — the same bounded-blowup guard as MinHash LSH.
-    *
-    * Scale shape: one narrow signature projection, one bucket shuffle with
-    * per-bucket pair explosion bounded by maxBucket², and an id-keyed join
-    * back to vectors for the exact-cosine verify — never an all-pairs
-    * product.
+    * cost of wider buckets. Oversize buckets (> maxBucket) are cut by the
+    * audited skew guard — the same bounded-blowup rule as MinHash LSH.
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 16, bands: Int = 4, maxBucket: Int = 256,
-      dim: Int = 64): DataFrame = {
-    require(nBits % bands == 0 && nBits <= 63, s"bands=$bands must divide nBits=$nBits (< 64)")
-    val bits = nBits / bands
-    val mask = (1L << bits) - 1
-    val planes = hyperplanes(nBits, dim)
-    val sigs = emb.select(col(idCol).as("doc"),
-      lshBucket(col(vecCol), planes).as("_sig"))
-    val buckets = sigs
-      .select(col("doc"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("_sig"), b * bits).bitwiseAND(mask).as("key"))): _*)).as("b"))
-      .groupBy(col("b.band"), col("b.key"))
-      .agg(sort_array(collect_set(col("doc"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    val cands = buckets
-      .select(explode(flatten(transform(col("docs"),
-        (x, i) => transform(slice(col("docs"), i + 2, size(col("docs"))),
-          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
-      .distinct()
-    val v = emb.select(col(idCol).as("doc"), col(vecCol).as("vec"))
-    cands
-      .join(v.withColumnRenamed("doc", "vec_a").withColumnRenamed("vec", "_va"), "vec_a")
-      .join(v.withColumnRenamed("doc", "vec_b").withColumnRenamed("vec", "_vb"), "vec_b")
+      dim: Int = 64): DataFrame =
+    signBandCandidates(emb, idCol, vecCol, nBits, bands, maxBucket, dim)
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("_va"), col("_vb")), 5).as("cosine"))
       .filter(col("cosine") >= threshold)
-  }
 
   /** Identical-vector pairs via the same sign-LSH banding machinery — the
     * provable-recall slice of [[cosineNearDupPairs]]: byte-identical
     * embeddings have identical sign signatures, so EVERY band collides and
-    * the pair is found with probability 1 (the only cut is the `maxBucket`
-    * skew guard, sized far above any plausible bucket here). Verification is
-    * exact array equality, so the output is deterministic and a DuckDB
-    * brute-force equality join is an exact oracle — the graded
-    * cosine-threshold mode stays [[cosineNearDupPairs]] (probabilistic
-    * recall, ScalaTest-verified).
+    * the pair is found with probability 1 as long as its buckets survive the
+    * skew guard. The defaults are sized for that: 8-bit band keys (nBits 32 /
+    * 4 bands) spread N vectors over 256 buckets per band, so buckets reach
+    * maxBucket=1024 only around N ≈ 256k — and the guard WARNS before it
+    * cuts (signBandCandidates audit), so an under-provisioned index is
+    * visible, never a silent recall hole. Verification is exact array
+    * equality, so the output is deterministic and a DuckDB brute-force
+    * equality join is an exact oracle — the graded cosine-threshold mode
+    * stays [[cosineNearDupPairs]] (probabilistic recall, ScalaTest-verified).
     */
   def identicalVectorPairs(emb: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 16, bands: Int = 4, maxBucket: Int = 1024,
-      dim: Int = 64): DataFrame = {
-    require(nBits % bands == 0 && nBits <= 63, s"bands=$bands must divide nBits=$nBits (< 64)")
-    val bits = nBits / bands
-    val mask = (1L << bits) - 1
-    val planes = hyperplanes(nBits, dim)
-    val sigs = emb.select(col(idCol).as("doc"),
-      lshBucket(col(vecCol), planes).as("_sig"))
-    val buckets = sigs
-      .select(col("doc"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("_sig"), b * bits).bitwiseAND(mask).as("key"))): _*)).as("b"))
-      .groupBy(col("b.band"), col("b.key"))
-      .agg(sort_array(collect_set(col("doc"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    val cands = buckets
-      .select(explode(flatten(transform(col("docs"),
-        (x, i) => transform(slice(col("docs"), i + 2, size(col("docs"))),
-          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
-      .distinct()
-    val v = emb.select(col(idCol).as("doc"), col(vecCol).as("vec"))
-    cands
-      .join(v.withColumnRenamed("doc", "vec_a").withColumnRenamed("vec", "_va"), "vec_a")
-      .join(v.withColumnRenamed("doc", "vec_b").withColumnRenamed("vec", "_vb"), "vec_b")
+      nBits: Int = 32, bands: Int = 4, maxBucket: Int = 1024,
+      dim: Int = 64): DataFrame =
+    signBandCandidates(emb, idCol, vecCol, nBits, bands, maxBucket, dim)
       .filter(col("_va") === col("_vb")) // exact equality verify
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("_va"), col("_vb")), 5).as("cosine"))
-  }
 
   /** Multi-probe LSH top-k: candidates live in the query's bucket OR any
     * bucket within hamming distance `probeHamming` of it (probing the

@@ -173,9 +173,10 @@ object AsOfJoin {
     * given else by the value columns.
     *
     * Value columns must be atomic types (long/int/double/float/string/
-    * boolean/timestamp) — each gets its own typed lookup UDF sharing the
-    * broadcast index. Use [[asof]] for struct/array values or unbounded
-    * build sides; [[asofAuto]] dispatches on a build-side row count.
+    * boolean) — each gets its own typed lookup UDF sharing the broadcast
+    * index. Use [[asof]] for timestamp/struct/array values or unbounded
+    * build sides ([[asofAuto]] dispatches the same way, on a build-side
+    * row count plus this type check).
     */
   def asofBroadcast(
       left: DataFrame,
@@ -202,8 +203,7 @@ object AsOfJoin {
       .select(struct(keyCols.map(col): _*).as("_k"), toLong(right, rightTs).as("_t"),
         tieCol.as("_tie"), struct(valueCols.map(col): _*).as("_v"))
       .filter(col("_t").isNotNull)
-      .sort(col("_k"), col("_t")) // cluster keys; (t) order finalized driver-side
-      .collect()
+      .collect() // unsorted: the index groups and orders driver-side anyway
     // per key: ts array sorted by (t, tie) + parallel value rows
     // tie comparator mirroring the chunked path's orderBy(_tie): numeric seq
     // compares numerically; a value-struct tie compares field-by-field
