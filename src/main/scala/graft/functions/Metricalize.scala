@@ -233,22 +233,45 @@ object Metricalize {
         max(bnotForLast).as("_boundary"))
 
     // (d) join the per-series (last kind, boundary, cross-transitions) back
-    // and aggregate: value aggregates cover the surviving trailing run only.
-    // Every buffer is a mutable primitive → HashAggregate; the tags map
-    // rebuilds from the group key itself
-    marked
+    // and aggregate IN TWO PHASES: per-(series, chunk) partials first —
+    // grouped on the SAME keys the replay window already partitioned by, so
+    // the broadcast-joined frame needs NO new exchange (EnsureRequirements
+    // sees the clustering satisfied) — then the final reduction over the
+    // tiny series×chunks frame. A direct groupBy(name, skey) here was the
+    // plan's second full-data shuffle; this shape has exactly ONE data-sized
+    // exchange end to end. Every buffer stays a mutable primitive →
+    // HashAggregate; the tags map rebuilds from the group key itself.
+    val survOrd = when(surviving, col("ord"))
+    val chunkAggs: Seq[Column] = Seq(
+      first(col("_last_kind")).as("_last_kind"),
+      first(col("_cross_mm")).as("_cross_mm"),
+      sum(col("_mismatch")).as("_mm"),
+      max(col("ord")).as("_c_max_ord"),
+      max_by(col("sidx"), col("ord")).as("_c_sidx"),
+      sum(when(surviving, col("v"))).as("_c_sum"),
+      count(when(surviving, lit(1))).as("_c_cnt"),
+      // chunks with no survivor leave _c_last_ord null; the final max_by
+      // skips null ordering keys, so they can never win
+      max_by(when(surviving, col("v")), survOrd).as("_c_last"),
+      max(survOrd).as("_c_last_ord")) ++
+      ladder.zipWithIndex.map { case (b, i) =>
+        sum(when(surviving && col("v") <= b, 1L).otherwise(0L)).as(s"_c_hb_$i")
+      }
+    val perChunkFinal = marked
       .join(seriesFrame, Seq("name", "skey"))
+      .groupBy(col("name"), col("skey"), col("_chunk"))
+      .agg(chunkAggs.head, chunkAggs.tail: _*)
+    perChunkFinal
       .groupBy(col("name"), col("skey"))
       .agg(
         first(col("_last_kind")).as("_kind"),
-        (sum(col("_mismatch")) + first(col("_cross_mm"))).as("mismatches"),
-        max_by(col("sidx"), col("ord")).as("_fidx"),
-        sum(when(surviving, col("v"))).as("_sum"),
-        count(when(surviving, lit(1))).as("m_count"),
-        max_by(when(surviving, col("v")), when(surviving, col("ord"))).as("_last"),
+        (sum(col("_mm")) + first(col("_cross_mm"))).as("mismatches"),
+        max_by(col("_c_sidx"), col("_c_max_ord")).as("_fidx"),
+        sum(col("_c_sum")).as("_sum"),
+        sum(col("_c_cnt")).as("m_count"),
+        max_by(col("_c_last"), col("_c_last_ord")).as("_last"),
         (if (ladder.isEmpty) array().cast("array<bigint>")
-         else array(ladder.map(b =>
-           sum(when(surviving && col("v") <= b, 1L).otherwise(0L))): _*)).as("_hb"))
+         else array(ladder.indices.map(i => sum(col(s"_c_hb_$i"))): _*)).as("_hb"))
       .select(
         col("name"),
         map_from_entries(col("skey")).as("tags"),
