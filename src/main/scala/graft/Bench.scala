@@ -298,12 +298,20 @@ object Bench {
       : LevelResult = {
     val doCascade = phases.startsWith("cascade") || phases == "all"
     val doOps = phases == "ops1" || phases == "all"
-    // "cascade2": min-of-2 shots WITHIN this child — used for the hi level
-    // only, whose wall is short enough that single shots catch transient
-    // squalls disproportionately (the round-3 verdict's "guarantee the hi
-    // child a rerun"); the lo level's multi-minute wall averages transients
-    // out on its own and stays single-shot
-    val shots = if (phases == "cascade2") 2 else 1
+    // "cascade2:<sec>": a CONDITIONAL second shot within this child — used
+    // for the hi level only, whose wall is short enough that single shots
+    // catch transient squalls disproportionately (the round-3 verdict's
+    // "guarantee the hi child a rerun"). The rerun fires only when shot 1
+    // exceeds the caller-computed threshold (the lo wall at efficiency
+    // 0.85): a round that already reads healthy spends nothing extra, and
+    // the saved ~45 s is what lets a THIRD cascade round fit the budget —
+    // the median over 3 rounds shrugs off a squall that outlasts any
+    // min-of-N inside one child (observed: back-to-back 68.8/70.8 s shots
+    // inside one 2.5-min squall). The lo level's multi-minute wall averages
+    // transients out on its own and stays single-shot.
+    val rerunAbove: Double =
+      if (phases.startsWith("cascade2:")) phases.stripPrefix("cascade2:").toDouble
+      else Double.MaxValue
     val s = session(cpus, aqe = false) // scaling children measure AQE-free
     try {
       val warmBase = Files.createTempDirectory("graft_warm").toString
@@ -333,12 +341,13 @@ object Bench {
 
       var res = LevelResult(0L, -1.0, -1.0, -1.0, -1.0, -1.0)
       if (doCascade) {
-        var best = Double.MaxValue
-        for (shot <- 1 to shots) {
-          val (n, c) = cascade(s, rawPath)
-          best = math.min(best, c)
-          res = res.copy(n = n, cascade = best)
-          partial(f"""{"level":$cpus,"phase":"cascade","shot":$shot,"sec":$c%.2f,"rows":$n}""")
+        val (n, c1) = cascade(s, rawPath)
+        res = res.copy(n = n, cascade = c1)
+        partial(f"""{"level":$cpus,"phase":"cascade","shot":1,"sec":$c1%.2f,"rows":$n}""")
+        if (c1 > rerunAbove) {
+          val (_, c2) = cascade(s, rawPath)
+          res = res.copy(cascade = math.min(c1, c2))
+          partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":$c2%.2f,"rows":$n}""")
         }
       }
       if (doOps) {
@@ -413,7 +422,7 @@ object Bench {
     // paired cascade rounds + two ops rounds still fit the 1500 s budget
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "48000000").toLong
     val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1500").toDouble
-    val queriesReserve = 170.0
+    val queriesReserve = 150.0
 
     val rawPath = ensureRaw(benchN)
     partial(f"""{"phase":"datagen","sec":$elapsedSec%.2f,"n":$benchN}""")
@@ -463,7 +472,8 @@ object Bench {
           // the machine-read record (it still has no ratio, only sec/rows)
           nSeq = math.max(nSeq, lo.n)
           cascLoSecs ::= lo.cascade
-          val hi = runLevelForked(hiL, rawPath, "cascade2")
+          val hi = runLevelForked(hiL, rawPath,
+            f"cascade2:${lo.cascade / (ratio * 0.85)}%.2f")
           cascHiSecs ::= hi.cascade
           cascRounds ::= ((lo.cascade, hi.cascade))
           val eff = (lo.cascade / hi.cascade) / ratio
@@ -476,7 +486,14 @@ object Bench {
         }
         cascCost = elapsedSec - t0
       }
+      // the first ops round interleaves after cascade round 1 (weather
+      // diversity); the second waits until the cascade family is exhausted —
+      // the cascade is the contract metric, a third cascade round outranks a
+      // second ops round
+      val cascadeExhausted = !cascOk || cascRounds.size >= maxCascRounds ||
+        (cascRounds.nonEmpty && left <= cascCost * 1.1)
       if (opsOk && opsRounds.size < maxOpsRounds &&
+          (opsRounds.isEmpty || cascadeExhausted) &&
           (opsRounds.isEmpty || left > opsCost * 1.1)) {
         val t0 = elapsedSec
         try {

@@ -81,6 +81,8 @@ object DocQueries {
     * `contains` probes per row, no shuffle beyond the final tiny groupBy.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
+    // the padded concat appears in all 48 probes; codegen-level
+    // subexpression elimination evaluates it once per row
     val padded = concat(lit(" "), col("text"), lit(" "))
     val scores = langProfiles.map { case (l, ws) =>
       l -> ws.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
