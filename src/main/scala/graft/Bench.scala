@@ -371,9 +371,13 @@ object Bench {
   /** Spawn a child JVM (same classpath + module opens + heap) running
     * `graft.Bench level <cpus> <rawPath> <budgetSec> <phases>`; stream its
     * output through (so BENCH_PARTIAL evidence reaches the driver log live)
-    * and parse its LEVEL_RESULT line.
+    * and parse its LEVEL_RESULT line. Returns (result, rerunSec): rerunSec
+    * is the wall of the conditional cascade shot 2 if it fired (0.0
+    * otherwise), which the scheduler subtracts to estimate the
+    * deterministic cost of the next round.
     */
-  private def runLevelForked(cpus: Int, rawPath: String, phases: String): LevelResult = {
+  private def runLevelForked(cpus: Int, rawPath: String, phases: String)
+      : (LevelResult, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
@@ -386,10 +390,15 @@ object Bench {
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     var result: Option[LevelResult] = None
+    var rerunSec = 0.0
+    val shot2Re = """"phase":"cascade","shot":2,"sec":([0-9.]+)""".r
     val tail = new scala.collection.mutable.ArrayDeque[String]()
     var line = reader.readLine()
     while (line != null) {
-      if (line.startsWith("BENCH_PARTIAL")) { println(line); System.out.flush() }
+      if (line.startsWith("BENCH_PARTIAL")) {
+        println(line); System.out.flush()
+        shot2Re.findFirstMatchIn(line).foreach(m => rerunSec = m.group(1).toDouble)
+      }
       else if (line.startsWith("LEVEL_RESULT")) {
         val p = line.split(" ")
         result = Some(LevelResult(p(2).toLong, p(3).toDouble, p(4).toDouble,
@@ -401,10 +410,10 @@ object Bench {
       line = reader.readLine()
     }
     proc.waitFor()
-    result.getOrElse {
+    (result.getOrElse {
       System.err.println(tail.mkString("\n"))
       throw new IllegalStateException(s"child level=$cpus produced no result")
-    }
+    }, rerunSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -457,23 +466,39 @@ object Bench {
     var opsRounds = List.empty[(LevelResult, LevelResult)]
     var nSeq = 0L
     var (cascCost, opsCost) = (0.0, 0.0) // measured wall of the last pair
+    var cascRerunSec = 0.0 // portion of cascCost spent on the hi rerun shot
     var (cascOk, opsOk) = (true, true)
     def left: Double = budget - elapsedSec - queriesReserve
+    // the next cascade round's DETERMINISTIC cost is the last round's wall
+    // minus its rerun shot (the rerun only fires in bad weather): gating on
+    // the full rerun-inflated wall is what would leave ONE sub-bar round as
+    // the whole record in bad weather — the r03 failure shape, where more
+    // rounds, not bigger ones, are the defense. A round admitted this way
+    // runs with the rerun disabled unless the budget can absorb one; a
+    // fired rerun may overrun the estimate by ~one hi wall, which the query
+    // reserve absorbs (the pass skips tail queries gracefully, and the
+    // final JSON always prints).
+    def cascNextFits: Boolean =
+      cascRounds.isEmpty || left > (cascCost - cascRerunSec) * 1.05
     var progressed = true
     while (progressed) {
       progressed = false
-      if (cascOk && cascRounds.size < maxCascRounds &&
-          (cascRounds.isEmpty || left > cascCost * 1.1)) {
+      if (cascOk && cascRounds.size < maxCascRounds && cascNextFits) {
+        val withRerun = cascRounds.isEmpty ||
+          left > (cascCost - cascRerunSec) * 1.1 + cascHiSecs.headOption.getOrElse(60.0)
         val t0 = elapsedSec
         try {
-          val lo = runLevelForked(loL, rawPath, "cascade1")
+          val (lo, _) = runLevelForked(loL, rawPath, "cascade1")
           // lo results are banked BEFORE the hi child runs: a crashed hi
           // child must not erase a fully-measured multi-minute lo shot from
           // the machine-read record (it still has no ratio, only sec/rows)
           nSeq = math.max(nSeq, lo.n)
           cascLoSecs ::= lo.cascade
-          val hi = runLevelForked(hiL, rawPath,
-            f"cascade2:${lo.cascade / (ratio * 0.85)}%.2f")
+          val hiPhases =
+            if (withRerun) f"cascade2:${lo.cascade / (ratio * 0.85)}%.2f"
+            else "cascade1"
+          val (hi, rerun) = runLevelForked(hiL, rawPath, hiPhases)
+          cascRerunSec = rerun
           cascHiSecs ::= hi.cascade
           cascRounds ::= ((lo.cascade, hi.cascade))
           val eff = (lo.cascade / hi.cascade) / ratio
@@ -491,14 +516,14 @@ object Bench {
       // the cascade is the contract metric, a third cascade round outranks a
       // second ops round
       val cascadeExhausted = !cascOk || cascRounds.size >= maxCascRounds ||
-        (cascRounds.nonEmpty && left <= cascCost * 1.1)
+        !cascNextFits
       if (opsOk && opsRounds.size < maxOpsRounds &&
           (opsRounds.isEmpty || cascadeExhausted) &&
           (opsRounds.isEmpty || left > opsCost * 1.1)) {
         val t0 = elapsedSec
         try {
-          val lo = runLevelForked(loL, rawPath, "ops1")
-          val hi = runLevelForked(hiL, rawPath, "ops1")
+          val (lo, _) = runLevelForked(loL, rawPath, "ops1")
+          val (hi, _) = runLevelForked(hiL, rawPath, "ops1")
           if (nSeq == 0L) nSeq = lo.n
           opsRounds ::= ((lo, hi))
           partial(f"""{"phase":"ops_round","n":${opsRounds.size},"asof_lo":${lo.asof}%.2f,"asof_hi":${hi.asof}%.2f,"mz_lo":${lo.mz}%.2f,"mz_hi":${hi.mz}%.2f,"bcast_lo":${lo.asofBcast}%.2f,"bcast_hi":${hi.asofBcast}%.2f,"cpu_lo":${lo.cpu}%.2f,"cpu_hi":${hi.cpu}%.2f,"elapsed":$elapsedSec%.2f}""")
