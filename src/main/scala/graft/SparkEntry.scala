@@ -98,7 +98,8 @@ object SparkEntry {
     // —— batch 6 (round 4): GCRA admission replay + counter-mode sample ——
     "q53_throttle_gcra" -> (EventQueries.throttleGcra _),
     "q54_sample_counter" -> (EventQueries.sampleCounter _),
-    "q55_winnow_fingerprint" -> (DocQueries.winnowFingerprint _)
+    "q55_winnow_fingerprint" -> (DocQueries.winnowFingerprint _),
+    "q56_ann_ivf" -> (MoreQueries.annIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,6 +338,48 @@ object SparkEntry {
         |  round(sum(CASE WHEN admitted THEN value END), 4) AS admitted_sum
         |FROM rep GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q55_winnow_fingerprint" -> DocQueries.winnowFingerprintOracle,
+    // q56: DuckDB recomputes the IVF index end-to-end — assignment argmax on
+    // 6dp-rounded cosines (ties to the smaller centroid id, mirroring the
+    // strict-> UDF loop), nProbe=2 probe lists, exact cosine over the probed
+    // lists, rank on 5dp-rounded scores with vec_id tie-break. The unnest-zip
+    // cosine is the q22-proven arithmetic-identical pattern.
+    "q56_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |pairx AS (
+        |  SELECT e.vec_id, c.cid,
+        |    unnest(e.embedding)::DOUBLE AS x, unnest(c.cvec)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |cosv AS (
+        |  SELECT vec_id, cid,
+        |    round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cos
+        |  FROM pairx GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM cosv),
+        |asn AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid FROM rk
+        |  WHERE vec_id IN (0, 1, 2, 3, 4) AND rn <= 2),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN asn a ON a.cid = p.cid),
+        |candx AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    unnest(e.embedding)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN embeddings q ON q.vec_id = c.query_id),
+        |score AS (
+        |  SELECT query_id, vec_id,
+        |    round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 5) AS cosine
+        |  FROM candx GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM score)
+        |SELECT query_id, rank::INT AS rank, vec_id, cosine
+        |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q54_sample_counter" ->
       """WITH r AS (SELECT event_type, value,
         |  row_number() OVER (ORDER BY ts, event_id) AS rn

@@ -152,6 +152,158 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("_va"), col("_vb")), 5).as("cosine"))
 
+  /** Round to `dp` decimals, half away from zero — the same rule as Spark's
+    * `round` and DuckDB's `round`, so rankings computed on rounded scores
+    * order identically across engines (raw doubles an ulp apart could flip
+    * a cross-engine comparison; rounded ones cannot unless they sit exactly
+    * on a rounding boundary).
+    */
+  private def roundHalfUp(x: Double, dp: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(dp, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** IVF (inverted-file) coarse quantizer: centroid `c` for a vector is the
+    * argmax of cosine over the centroid set, ties to the smallest centroid
+    * id. Cosine is computed in one sequential JVM loop (same IEEE add order
+    * as the Catalyst `aggregate` fold and DuckDB's positional-unnest sum,
+    * which is what makes the q56 oracle exact) and compared ROUNDED to 6
+    * decimals so the argmax is stable cross-engine. A tight UDF loop, not a
+    * Catalyst HOF: 16 interpreted `aggregate` folds per row were the
+    * measured ~40× MinHash mistake (Dedup.scala) — at 100 TB the assignment
+    * map is the hot path.
+    */
+  def ivfAssignUdf(cents: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = udf { (v: Seq[Float]) =>
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) {
+        val x = v(i).toDouble; val y = cent(i)
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val cos = roundHalfUp(d / (math.sqrt(na) * math.sqrt(nb)), 6)
+      if (cos > bestCos) { bestCos = cos; best = c } // strict: ties keep min id
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic seed centroids: the embeddings of ids 0..k−1. Production
+    * IVF trains its quantizer offline on a sample (FAISS-style) and ships
+    * the centroid table; the deterministic seed set is that shipped
+    * artifact's stand-in, and [[ivfRefine]] is the (optional) Lloyd step on
+    * top of it.
+    */
+  def ivfSeedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Double]] =
+    emb.filter(col(idCol) < k).select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).map(_._2)
+
+  /** One spherical k-means step (Dhillon & Modha, Machine Learning 2001)
+    * over the current centroids: assign every vector by cosine, then
+    * replace each centroid with the per-dimension mean of its list's
+    * NORMALIZED vectors — the unit direction maximizing the list's summed
+    * cosine, so the objective Σ cos(v, centroid(v)) is non-decreasing
+    * under refine-then-reassign (the IvfSpec assertion). Distributed as
+    * posexplode + hash groupBy — never a per-centroid scan; empty lists
+    * (and zero-norm vectors) keep/skew nothing. Mean summation order is
+    * partition-dependent, so refined centroids are deterministic only to
+    * the ulp — fine for an index (assignment quality is what matters),
+    * which is why the ORACLED q56 path runs on the seed centroids.
+    */
+  def ivfRefine(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val assigned = emb.select(col(idCol),
+      ivfAssignUdf(cents)(col(vecCol)).as("_cid"), col(vecCol).as("_v"),
+      norm(col(vecCol)).as("_n"))
+    val means = assigned
+      .filter(col("_n") > 0)
+      .select(col("_cid"), col("_n"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+      .groupBy(col("_cid"), col("_pos"))
+      .agg(avg(col("_x").cast("double") / col("_n")).as("_m"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    cents.indices.map { c =>
+      if (means.contains((c, 0)))
+        Array.tabulate(cents(c).length)(p => means((c, p)))
+      else cents(c)
+    }.toArray
+  }
+
+  /** IVF ANN top-k: the brief's "IVF variant as the scale path" beside the
+    * LSH index. Every vector is assigned to its nearest coarse centroid
+    * (one narrow broadcast map — the inverted lists), each query probes the
+    * `nProbe` centroids nearest to IT, and the exact cosine runs only over
+    * the probed lists: candidate volume is ~nProbe/nCentroids of the table,
+    * reached by an equi-join on the centroid id — never a cross product.
+    * Output: (query_id, rank, vec_id, cosine) for rank <= k per query,
+    * ranked by cosine rounded to 5 decimals (cross-engine-stable) with
+    * vec_id as the tie-break. The query point itself ranks first (cosine
+    * 1.0) by construction — its own list is always probed.
+    *
+    * At 100 TB: the assignment map is shuffle-free; the candidate join
+    * shuffles ONLY the probed lists (bounded by nProbe/nCentroids of the
+    * data, or nothing if the table is bucketed by `_cid`); the per-query
+    * top-k window partitions by query over that bounded set. With
+    * nProbe = nCentroids the candidate set is the whole table and the
+    * result equals brute force exactly (the IvfSpec anchor).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCentroids: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids, "nProbe in [1, nCentroids]")
+    val spark = emb.sparkSession
+    val cents = ivfSeedCentroids(emb, idCol, vecCol, nCentroids)
+    val assigned = emb.withColumn("_cid", ivfAssignUdf(cents)(col(vecCol)))
+
+    // driver-side probe plan (|queries| × nCentroids, tiny): each query's
+    // vector + its nProbe nearest centroid ids under the SAME rounded
+    // ordering as the assignment
+    val qVecs: Map[Long, Array[Double]] =
+      emb.filter(col(idCol).isin(queryIds: _*)).select(col(idCol), col(vecCol))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+    def cosTo(q: Array[Double], cent: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < q.length) { d += q(i) * cent(i); na += q(i) * q(i); nb += cent(i) * cent(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probePairs = queryIds.flatMap { qid =>
+      val q = qVecs.getOrElse(qid,
+        throw new IllegalArgumentException(s"query id $qid not in $idCol"))
+      cents.zipWithIndex
+        .map { case (cent, cid) => (roundHalfUp(cosTo(q, cent), 6), cid) }
+        .sortBy { case (cos, cid) => (-cos, cid) }
+        .take(nProbe)
+        .map { case (_, cid) => (qid, cid) }
+    }
+    import spark.implicits._
+    val probes = broadcast(probePairs.toDF("query_id", "_cid"))
+
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val qCos = udf { (qid: Long, v: Seq[Float]) =>
+      val q = bcQ.value(qid)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < q.length) {
+        val x = q(i); val y = v(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    assigned.join(probes, "_cid") // broadcast equi-join: probed lists only
+      .select(col("query_id"), col(idCol),
+        round(qCos(col("query_id"), col(vecCol)), 5).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** Multi-probe LSH top-k: candidates live in the query's bucket OR any
     * bucket within hamming distance `probeHamming` of it (probing the
     * 1-bit-flip neighborhood is the standard recall fix for sign-LSH —

@@ -191,6 +191,20 @@ object MoreQueries {
     Similarity.lshTopKMultiProbe(DocQueries.embeddings(s, dir), "vec_id", "embedding",
       queryId = 0L, k = 10, probeHamming = 1)
 
+  /** IVF ANN top-5 for five query vectors over the inverted-file index
+    * (16 deterministic seed centroids, nProbe=2). Every step is
+    * deterministic and arithmetic-identical cross-engine (sequential IEEE
+    * double folds, rankings on HALF_UP-rounded scores), so DuckDB
+    * recomputing assignment + probed-list brute force is an EXACT oracle —
+    * unlike the hash-based LSH indexes (q30/q46), whose plane constants are
+    * JVM-seeded. Recall properties (nProbe monotonicity, nProbe=16 ≡ brute
+    * force) are IvfSpec's.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(DocQueries.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, nCentroids = 16, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+
   /** Gorilla page compression over the events stream: one binary page per
     * (event_type, day), DECODED BACK into a census (point count, ts span,
     * rounded value sum) that DuckDB recomputes from the raw events — a hard

@@ -383,4 +383,104 @@ class DedupSimilaritySpec extends AnyFunSuite {
       GeoIp.lookupRange(col("ip"), Seq((0L, 10L, "x"), (10L, 20L, "y")))
     }
   }
+
+  // —— IVF ANN (inverted-file coarse quantizer + nProbe search) ——
+
+  /** Independent Scala oracle for the IVF arithmetic: sequential double
+    * cosine, HALF_UP rounding, sort-based argmax/top-k (vs the operator's
+    * strict-> loop and window rank).
+    */
+  private def ivfOracle = new {
+    val rows: Array[(Long, Array[Double])] =
+      embeddings.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+        .collect().map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+        .sortBy(_._1)
+    def rnd(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents: Array[Array[Double]] = rows.take(16).map(_._2)
+    def assign(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) => (rnd(cos(v, c), 6), i) }
+        .sortBy { case (s, i) => (-s, i) }.head._2
+    def topK(qid: Long, nProbe: Int, k: Int): Seq[(Long, Long)] = {
+      val q = rows.find(_._1 == qid).get._2
+      val probed = cents.zipWithIndex.map { case (c, i) => (rnd(cos(q, c), 6), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2).toSet
+      rows.filter { case (_, v) => probed.contains(assign(v)) }
+        .map { case (id, v) => (id, rnd(cos(q, v), 5)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, _), r) => ((r + 1).toLong, id) }.toSeq
+    }
+  }
+
+  test("IVF with nProbe = nCentroids equals brute force exactly") {
+    val o = ivfOracle
+    val got = Similarity.ivfTopK(embeddings, "vec_id", "embedding",
+      Seq(0L, 7L, 123L), k = 5, nCentroids = 16, nProbe = 16)
+      .select($"query_id", $"rank".cast("long"), $"vec_id")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    for (qid <- Seq(0L, 7L, 123L)) {
+      val expected = o.topK(qid, 16, 5)
+      val actual = got(qid).sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      assert(actual == expected, s"query $qid: $actual vs $expected")
+    }
+  }
+
+  test("IVF assignment matches the sort-based argmax oracle for every vector") {
+    val o = ivfOracle
+    val cents = Similarity.ivfSeedCentroids(embeddings, "vec_id", "embedding", 16)
+    val got = embeddings
+      .select($"vec_id", Similarity.ivfAssignUdf(cents)($"embedding").as("cid"))
+      .as[(Long, Int)].collect().toMap
+    o.rows.foreach { case (id, v) =>
+      assert(got(id) == o.assign(v), s"vec $id")
+    }
+  }
+
+  test("IVF recall is monotone in nProbe and hits 1.0 at full probe") {
+    val o = ivfOracle
+    val exact = o.topK(0L, 16, 5).map(_._2).toSet
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(embeddings, "vec_id", "embedding",
+        Seq(0L), k = 5, nCentroids = 16, nProbe = nProbe)
+        .select($"vec_id").as[Long].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r16 = recall(16)
+    assert(r1 <= r4 && r4 <= r16, s"recall not monotone: $r1 / $r4 / $r16")
+    assert(r16 == 1.0)
+    // the query's own list is always probed, so rank 1 is the query itself
+    val top = Similarity.ivfTopK(embeddings, "vec_id", "embedding",
+      Seq(0L), k = 1, nCentroids = 16, nProbe = 1)
+      .select($"vec_id", $"cosine").as[(Long, Double)].head()
+    assert(top == ((0L, 1.0)))
+  }
+
+  test("IVF candidate restriction is a broadcast equi-join, never a cross product") {
+    val plan = Similarity.ivfTopK(embeddings, "vec_id", "embedding",
+      Seq(0L, 1L), k = 5, nCentroids = 16, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cross product in IVF plan:\n$plan")
+  }
+
+  test("spherical k-means refine does not degrade the cosine objective") {
+    val seed = Similarity.ivfSeedCentroids(embeddings, "vec_id", "embedding", 16)
+    val refined = Similarity.ivfRefine(embeddings, "vec_id", "embedding", seed)
+    assert(refined.length == 16 && refined.forall(_.length == 64))
+    val o = ivfOracle
+    def objective(cents: Array[Array[Double]]): Double =
+      o.rows.map { case (_, v) =>
+        cents.map(c => o.cos(v, c)).max
+      }.sum
+    val before = objective(seed)
+    val after = objective(refined)
+    // refine-then-reassign is monotone for spherical k-means; 1e-6 slack
+    // covers the 6dp-rounded assignment inside the update step
+    assert(after >= before - 1e-6, s"objective degraded: $before -> $after")
+  }
 }
