@@ -77,27 +77,42 @@ object DocQueries {
     "zh" -> Seq("的", "是", "不", "了", "在", "和"))
 
   /** Language-ID (stopword-profile argmax over [[langProfiles]]): confusion
-    * matrix vs the table's lang column. One codegen'd projection — 48
-    * `contains` probes per row, no shuffle beyond the final tiny groupBy.
+    * matrix vs the table's lang column. The 48 whole-word probes run in one
+    * tight JVM UDF loop over the padded text: the equivalent Catalyst
+    * expression tree (48 `contains` + greatest + a nested-when argmax) paid
+    * a measured ~2.5 s of fixed janino-compile cost PER PLAN regardless of
+    * data size — the same compile-vs-run trade as the MinHash signature
+    * loop (Dedup.scala). No shuffle beyond the final tiny groupBy.
     */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    // the padded concat appears in all 48 probes; codegen-level
-    // subexpression elimination evaluates it once per row
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    val scores = langProfiles.map { case (l, ws) =>
-      l -> ws.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
-        .reduce(_ + _) }
-    val maxScore = greatest(scores.map(_._2): _*)
-    // first profile in list order reaching the max wins (foldRight nests the
-    // later langs inside `otherwise`, so evaluation checks 'en' first)
-    val argmax = scores.foldRight(lit("other")) { case ((l, sc), acc) =>
-      when(sc === maxScore, l).otherwise(acc) }
+  private lazy val langIdUdf = {
+    val profiles = langProfiles.map { case (l, ws) =>
+      (l, ws.map(w => s" $w ").toArray) }.toArray
+    udf { (text: String) =>
+      if (text == null) "other"
+      else {
+        val padded = " " + text + " "
+        var best = "other"; var bestScore = 0; var i = 0
+        while (i < profiles.length) {
+          val (l, ws) = profiles(i)
+          var sc = 0; var j = 0
+          while (j < ws.length) { if (padded.contains(ws(j))) sc += 1; j += 1 }
+          // strict >: the FIRST profile in list order reaching the max wins,
+          // and a zero score never displaces 'other' — identical to the
+          // generated oracle's CASE order
+          if (sc > bestScore) { bestScore = sc; best = l }
+          i += 1
+        }
+        best
+      }
+    }
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .withColumn("predicted", when(maxScore === 0, "other").otherwise(argmax))
+      .withColumn("predicted", langIdUdf(col("text")))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("lang"), col("predicted"))
-  }
 
   /** DuckDB twin of [[langId]], generated from the same profile table so the
     * two rules cannot drift.
