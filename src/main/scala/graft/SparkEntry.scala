@@ -99,7 +99,9 @@ object SparkEntry {
     "q53_throttle_gcra" -> (EventQueries.throttleGcra _),
     "q54_sample_counter" -> (EventQueries.sampleCounter _),
     "q55_winnow_fingerprint" -> (DocQueries.winnowFingerprint _),
-    "q56_ann_ivf" -> (MoreQueries.annIvf _)
+    "q56_ann_ivf" -> (MoreQueries.annIvf _),
+    "q57_media_resize" -> ((s, d) => graft.ops.Multimodal.resizePipeline(s, d)),
+    "q58_audio_frame_sample" -> ((s, d) => graft.ops.Multimodal.frameSamplePipeline(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -386,6 +388,37 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
         |FROM r WHERE (rn - 1) % 20 = 0 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // q57/q58: the media content is doc_id arithmetic (Multimodal
+    // .mediaTablePixels), so DuckDB recomputes the RESIZED raster census
+    // (resized pixel (x,y) = source pixel (2x,2y) = (id+6x+14y) mod 251 over
+    // ⌈w/2⌉×⌈h/2⌉) and the SAMPLED frame census (every 4th frame, channel 0:
+    // ((31·id+52k) mod 65536)−32768) without parsing a byte — while the
+    // Spark side earns the numbers through the full encode→transform→
+    // re-decode byte path (bottom-up rows, 4-byte padding, interleaved LE
+    // frames).
+    "q57_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, (doc_id % 13) + 2 AS w, (doc_id % 11) + 2 AS h
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0),
+        |cells AS (
+        |  SELECT media_id, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2,
+        |    unnest(flatten(list_transform(range(0, (h + 1) // 2),
+        |      y -> list_transform(range(0, (w + 1) // 2),
+        |        x -> (media_id + 6 * x + 14 * y) % 251)))) AS p
+        |  FROM m)
+        |SELECT media_id, w2::INT AS w2, h2::INT AS h2, sum(p)::BIGINT AS pix_sum
+        |FROM cells GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+    "q58_audio_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, (doc_id % 50) + 4 AS nf
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 <> 0),
+        |s AS (
+        |  SELECT media_id, (nf + 3) // 4 AS n_out,
+        |    unnest(list_transform(range(0, (nf + 3) // 4),
+        |      k -> ((31 * media_id + 52 * k) % 65536) - 32768)) AS v
+        |  FROM m)
+        |SELECT media_id, n_out::INT AS n_frames_out, sum(v)::BIGINT AS sample_sum
+        |FROM s GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

@@ -101,6 +101,63 @@ object Multimodal {
     b
   }
 
+  // ---- pixel-level encoders (resize / frame-sample sources) ----
+
+  /** 24-bpp BMP with a REAL pixel raster: rows stored bottom-up and padded
+    * to 4-byte boundaries — the two DIB layout details any pixel-level
+    * operation must honor. `pix(x, y)` is the grayscale byte at IMAGE
+    * coordinates (y = 0 is the top row; the encoder maps it to file row
+    * height−1−y), written to all three BGR channels.
+    */
+  def encodeBmpPixels(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = (width * 3 + 3) & ~3
+    val b = new Array[Byte](54 + rowSize * height)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, b.length)
+    putLe32(b, 10, 54)
+    putLe32(b, 14, 40)
+    putLe32(b, 18, width)
+    putLe32(b, 22, height)
+    putLe16(b, 26, 1)
+    putLe16(b, 28, 24)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val p = (pix(x, y) & 0xff).toByte
+        val off = rowOff + x * 3
+        b(off) = p; b(off + 1) = p; b(off + 2) = p
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** PCM WAV with REAL sample data: `samples(frame, channel)` is the signed
+    * 16-bit value, stored little-endian in interleaved frames.
+    */
+  def encodeWavPcm(sampleRate: Int, channels: Int, nFrames: Int,
+      samples: (Int, Int) => Int): Array[Byte] = {
+    require(channels > 0 && nFrames >= 0)
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val b = new Array[Byte](44 + dataSize)
+    encodeWav(sampleRate, channels, dataSize).copyToArray(b)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        putLe16(b, 44 + f * blockAlign + c * 2, samples(f, c) & 0xffff)
+        c += 1
+      }
+      f += 1
+    }
+    b
+  }
+
   // ---- decoders ----
 
   /** Parse a BMP header: Some((width, height, bpp)) or None if malformed. */
@@ -128,6 +185,98 @@ object Multimodal {
       val dataSize = le32(b, 40).toLong & 0xffffffffL
       if (rate <= 0 || channels <= 0 || byteRate <= 0) None
       else Some((rate, channels, dataSize * 1000L / byteRate))
+    }
+
+  /** Nearest-neighbor downsample of a 24-bpp bottom-up BMP by integer
+    * `factor`: output pixel (x, y) = source pixel (x·factor, y·factor),
+    * output dims ⌈w/factor⌉ × ⌈h/factor⌉, re-encoded as a VALID BMP (the
+    * resize of a resize decodes). None for malformed payloads, non-24-bpp,
+    * top-down (negative height) images, or pixel data shorter than the
+    * header claims — a poison payload degrades to a dropped row, never a
+    * thrown stage.
+    */
+  def resizeBmp(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1)
+    decodeBmp(payload) match {
+      case Some((w, h, 24)) if le32(payload, 22) > 0 =>
+        val dataOff = le32(payload, 10)
+        val rowSize = (w * 3 + 3) & ~3
+        if (dataOff < 54 || payload.length < dataOff + rowSize.toLong * h) None
+        else {
+          val w2 = (w + factor - 1) / factor
+          val h2 = (h + factor - 1) / factor
+          Some(encodeBmpPixels(w2, h2, (x2, y2) =>
+            payload(dataOff + (h - 1 - y2 * factor) * rowSize + x2 * factor * 3) & 0xff))
+        }
+      case _ => None
+    }
+  }
+
+  /** Every `n`th PCM frame of a WAV, rebuilt as a VALID WAV with the same
+    * format chunk and the reduced data size (audio frame-sampling — the
+    * 1-D analog of the image resize). None for malformed or truncated
+    * payloads.
+    */
+  def frameSampleWav(payload: Array[Byte], n: Int): Option[Array[Byte]] = {
+    require(n >= 1)
+    decodeWav(payload) match {
+      case Some((rate, ch, _)) =>
+        val blockAlign = ch * 2
+        val dataSize = le32(payload, 40)
+        if (dataSize < 0 || payload.length < 44 + dataSize.toLong) None
+        else {
+          val nFrames = dataSize / blockAlign
+          val nOut = (nFrames + n - 1) / n
+          Some(encodeWavPcm(rate, ch, nOut,
+            (f, c) => le16(payload, 44 + f * n * blockAlign + c * 2).toShort.toInt))
+        }
+      case None => None
+    }
+  }
+
+  /** Decoded pixel census of a 24-bpp BMP payload: (width, height, sum of
+    * the blue-channel bytes over every pixel) — recomputable by arithmetic
+    * when the raster is synthesized, which makes the resize pipeline's
+    * encode→resize→re-decode path a hard oracle target.
+    */
+  def bmpPixelCensus(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    decodeBmp(payload) match {
+      case Some((w, h, 24)) if le32(payload, 22) > 0 =>
+        val dataOff = le32(payload, 10)
+        val rowSize = (w * 3 + 3) & ~3
+        if (dataOff < 54 || payload.length < dataOff + rowSize.toLong * h) None
+        else {
+          var sum = 0L; var y = 0
+          while (y < h) {
+            val rowOff = dataOff + (h - 1 - y) * rowSize
+            var x = 0
+            while (x < w) { sum += payload(rowOff + x * 3) & 0xff; x += 1 }
+            y += 1
+          }
+          Some((w, h, sum))
+        }
+      case _ => None
+    }
+
+  /** Decoded PCM census of a WAV payload: (frame count, sum of channel-0
+    * signed 16-bit samples).
+    */
+  def wavPcmCensus(payload: Array[Byte]): Option[(Int, Long)] =
+    decodeWav(payload) match {
+      case Some((_, ch, _)) =>
+        val blockAlign = ch * 2
+        val dataSize = le32(payload, 40)
+        if (dataSize < 0 || payload.length < 44 + dataSize.toLong) None
+        else {
+          val nFrames = dataSize / blockAlign
+          var sum = 0L; var f = 0
+          while (f < nFrames) {
+            sum += le16(payload, 44 + f * blockAlign).toShort.toLong
+            f += 1
+          }
+          Some((nFrames, sum))
+        }
+      case None => None
     }
 
   /** Partition-batched decode: one pass, per-kind header parse, malformed
@@ -177,6 +326,64 @@ object Multimodal {
         enc(col("doc_id")).as("payload"))
       .as[MediaRow]
   }
+
+  final case class ResizedCensus(media_id: Long, w2: Int, h2: Int, pix_sum: Long)
+  final case class SampledCensus(media_id: Long, n_frames_out: Int, sample_sum: Long)
+
+  /** Deterministic media table WITH real content (the resize / frame-sample
+    * source): even doc_ids carry a 24-bpp BMP whose raster is
+    * p(x, y) = (id + 3x + 7y) mod 251; odd ones a PCM WAV whose frames are
+    * s(f, c) = ((31·id + 13f + 7c) mod 65536) − 32768; every 7th payload is
+    * deliberately malformed. All content is doc_id arithmetic, so a SQL
+    * oracle recomputes the RESIZED/SAMPLED censuses exactly.
+    */
+  def mediaTablePixels(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val enc = udf { (id: Long) =>
+      if (id % 7 == 0) "XX".getBytes ++ Array.tabulate(8)(i => (id + i).toByte)
+      else if (id % 2 == 0)
+        encodeBmpPixels((id % 13).toInt + 2, (id % 11).toInt + 2,
+          (x, y) => ((id + 3 * x + 7 * y) % 251).toInt)
+      else
+        encodeWavPcm(8000 * ((id % 5).toInt + 1), (((id + 1) / 2) % 2).toInt + 1,
+          (id % 50).toInt + 4,
+          (f, c) => (((31 * id + 13 * f + 7 * c) % 65536) - 32768).toInt)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "image").otherwise("audio").as("kind"),
+        enc(col("doc_id")).as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Resize pipeline: images in, factor-2 nearest-neighbor downsample, the
+    * RESIZED payload re-decoded into its census (proving the full
+    * encode→resize→decode byte path, not just the arithmetic). Malformed
+    * payloads drop (the q32 pipeline carries the malformed accounting).
+    */
+  def resizePipeline(spark: SparkSession, dir: String, factor: Int = 2): DataFrame =
+    mediaTablePixels(spark, dir)
+      .filter(col("kind") === "image")
+      .mapPartitions(_.flatMap { r =>
+        resizeBmp(r.payload, factor).flatMap(bmpPixelCensus).map {
+          case (w, h, sum) => ResizedCensus(r.media_id, w, h, sum)
+        }
+      })(org.apache.spark.sql.Encoders.product[ResizedCensus])
+      .toDF().orderBy(col("media_id"))
+
+  /** Frame-sample pipeline: audio in, every `n`th frame kept, the SAMPLED
+    * payload re-decoded into its census.
+    */
+  def frameSamplePipeline(spark: SparkSession, dir: String, n: Int = 4): DataFrame =
+    mediaTablePixels(spark, dir)
+      .filter(col("kind") === "audio")
+      .mapPartitions(_.flatMap { r =>
+        frameSampleWav(r.payload, n).flatMap(wavPcmCensus).map {
+          case (nf, sum) => SampledCensus(r.media_id, nf, sum)
+        }
+      })(org.apache.spark.sql.Encoders.product[SampledCensus])
+      .toDF().orderBy(col("media_id"))
 
   /** End-to-end decode pipeline: binary column in, typed features out, then a
     * per-kind census with malformed accounting — every dimension reproducible

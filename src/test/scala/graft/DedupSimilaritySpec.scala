@@ -384,6 +384,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // —— multimodal resize / frame-sample (byte-level, real DIB/RIFF layout) ——
+
+  test("BMP resize: nearest-neighbor picks source (2x,2y); padding and bottom-up rows honored") {
+    import graft.ops.Multimodal
+    // 3×3 raster with distinct values; w=3 → rowSize 12 (9 data + 3 pad)
+    def pix(x: Int, y: Int): Int = 10 * y + x
+    val src = Multimodal.encodeBmpPixels(3, 3, pix)
+    assert(src.length == 54 + 12 * 3)
+    val out = Multimodal.resizeBmp(src, 2).get
+    // ceil(3/2)=2 → 2×2 with sources (0,0),(2,0),(0,2),(2,2)
+    assert(Multimodal.decodeBmp(out).contains((2, 2, 24)))
+    val (w2, h2, sum) = Multimodal.bmpPixelCensus(out).get
+    assert((w2, h2) == ((2, 2)))
+    assert(sum == pix(0, 0) + pix(2, 0) + pix(0, 2) + pix(2, 2))
+    // the resized payload is itself a valid BMP: resize-of-resize decodes
+    val out2 = Multimodal.resizeBmp(out, 2).get
+    assert(Multimodal.bmpPixelCensus(out2).get == ((1, 1, pix(0, 0).toLong)))
+    // census of the SOURCE proves the bottom-up row mapping roundtrips
+    assert(Multimodal.bmpPixelCensus(src).get._3 ==
+      (for { y <- 0 until 3; x <- 0 until 3 } yield pix(x, y)).sum)
+  }
+
+  test("WAV frame-sample: every nth frame kept, header rebuilt, signed samples roundtrip") {
+    import graft.ops.Multimodal
+    // 5 stereo frames; channel-0 samples include negatives
+    def s(f: Int, c: Int): Int = (f * 1000 - 2000) + c * 7
+    val src = Multimodal.encodeWavPcm(8000, 2, 5, s)
+    val out = Multimodal.frameSampleWav(src, 2).get
+    // frames 0, 2, 4 survive; format preserved
+    val Some((rate, ch, _)) = Multimodal.decodeWav(out)
+    assert((rate, ch) == ((8000, 2)))
+    assert(Multimodal.wavPcmCensus(out).get ==
+      ((3, (s(0, 0) + s(2, 0) + s(4, 0)).toLong)))
+    // stride past the end: a single frame remains
+    assert(Multimodal.frameSampleWav(src, 5).flatMap(Multimodal.wavPcmCensus)
+      .contains((1, s(0, 0).toLong)))
+  }
+
+  test("resize/frame-sample degrade malformed payloads to None, never throw") {
+    import graft.ops.Multimodal
+    assert(Multimodal.resizeBmp("XXgarbage".getBytes, 2).isEmpty)
+    assert(Multimodal.frameSampleWav("RIFFnope".getBytes, 2).isEmpty)
+    // truncated pixel data (header claims more than the payload carries)
+    val ok = Multimodal.encodeBmpPixels(4, 4, (_, _) => 1)
+    assert(Multimodal.resizeBmp(ok.take(60), 2).isEmpty)
+    // header-only BMPs (the q32 table) have no raster to resize
+    assert(Multimodal.resizeBmp(Multimodal.encodeBmp(8, 8, 24), 2).isEmpty)
+  }
+
   // —— IVF ANN (inverted-file coarse quantizer + nProbe search) ——
 
   /** Independent Scala oracle for the IVF arithmetic: sequential double
