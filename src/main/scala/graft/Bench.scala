@@ -128,18 +128,48 @@ object Bench {
     val lakeBase = s"/dev/shm/graft-bench-lake-${java.util.UUID.randomUUID().toString.take(8)}"
     val obs = TokenFixture.deriveObs(spark.read.parquet(rawPath))
       .select("series", "ts", "seq", "value").persist()
-    val n = obs.count() // untimed cache populate (single pass over the source)
+    try {
+      val n = obs.count() // untimed cache populate (single pass over the source)
+      val t0 = System.nanoTime()
+      TierCascade.run(spark, obs, lakeBase, seriesBuckets = 8, salts = 4,
+        withHistograms = true, withPages = true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      (n, secs)
+    } finally {
+      // also runs when a capped shot is cancelled mid-flight: unpersist and
+      // best-effort delete so an aborted shot leaks nothing into tmpfs
+      obs.unpersist(blocking = false)
+      deleteRec(new java.io.File(lakeBase))
+    }
+  }
+
+  /** Run one cascade shot with a wall-clock cap: past `capSec` the attempt
+    * is cancelled (`cancelAllJobs`) and reported as None plus its actual
+    * cost. Rationale: a min-of-2's second shot that has already run longer
+    * than the first CANNOT improve the min — val9 measured a 120.8 s squall
+    * shot against a 59.2 s shot 1 that pushed the round 80 s past its
+    * estimate and starved the query pass of 19 queries.
+    */
+  private def cascadeCapped(spark: SparkSession, rawPath: String,
+      capSec: Double): (Option[(Long, Double)], Double) = {
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val timer = new java.util.Timer(true)
+    timer.schedule(new java.util.TimerTask {
+      def run(): Unit = { cancelled.set(true); spark.sparkContext.cancelAllJobs() }
+    }, math.max(1L, (capSec * 1000).toLong))
     val t0 = System.nanoTime()
-    TierCascade.run(spark, obs, lakeBase, seriesBuckets = 8, salts = 4,
-      withHistograms = true, withPages = true)
-    val secs = (System.nanoTime() - t0) / 1e9
-    obs.unpersist(blocking = false)
-    deleteRec(new java.io.File(lakeBase))
-    (n, secs)
+    val out =
+      try Some(cascade(spark, rawPath))
+      catch { case _: Throwable if cancelled.get() => None }
+      finally timer.cancel()
+    (out, (System.nanoTime() - t0) / 1e9)
   }
 
   private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    if (f.isDirectory) {
+      val fs = f.listFiles()
+      if (fs != null) fs.foreach(deleteRec)
+    }
     f.delete()
   }
 
@@ -345,9 +375,19 @@ object Bench {
         res = res.copy(n = n, cascade = c1)
         partial(f"""{"level":$cpus,"phase":"cascade","shot":1,"sec":$c1%.2f,"rows":$n}""")
         if (c1 > rerunAbove) {
-          val (_, c2) = cascade(s, rawPath)
-          res = res.copy(cascade = math.min(c1, c2))
-          partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":$c2%.2f,"rows":$n}""")
+          // capped at c1 + the untimed populate overhead: a shot 2 whose
+          // timed wall exceeds shot 1 cannot improve the min, so a squall
+          // costs at most ~shot 1 again instead of an unbounded wall
+          // (slack overridable for testing the abort path)
+          val slack = sys.env.getOrElse("SPARK_GRAFT_HI_CAP_SLACK", "30").toDouble
+          val (out, attemptSec) = cascadeCapped(s, rawPath, c1 + slack)
+          out match {
+            case Some((_, c2)) =>
+              res = res.copy(cascade = math.min(c1, c2))
+              partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":$c2%.2f,"rows":$n}""")
+            case None =>
+              partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":$attemptSec%.2f,"rows":$n,"aborted":true}""")
+          }
         }
       }
       if (doOps) {
@@ -432,6 +472,11 @@ object Bench {
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "48000000").toLong
     val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1500").toDouble
     val queriesReserve = 150.0
+
+    // sweep tmpfs lake dirs a killed/aborted earlier run may have leaked
+    // (children run sequentially, so anything matching here is stale)
+    Option(new java.io.File("/dev/shm").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft-bench-lake-")).foreach(deleteRec)
 
     val rawPath = ensureRaw(benchN)
     partial(f"""{"phase":"datagen","sec":$elapsedSec%.2f,"n":$benchN}""")

@@ -174,9 +174,9 @@ object Similarity {
     */
   def ivfAssignUdf(cents: Array[Array[Double]])
       : org.apache.spark.sql.expressions.UserDefinedFunction = udf { (v: Seq[Float]) =>
-    var best = -1
+    var best = -1 // null/empty vectors keep -1: never joins a probed list
     var bestCos = Double.NegativeInfinity
-    var c = 0
+    var c = if (v == null || v.isEmpty) cents.length else 0
     while (c < cents.length) {
       val cent = cents(c)
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -198,10 +198,16 @@ object Similarity {
     * top of it.
     */
   def ivfSeedCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int): Array[Array[Double]] =
-    emb.filter(col(idCol) < k).select(col(idCol), col(vecCol)).collect()
+      k: Int): Array[Array[Double]] = {
+    val cents = emb.filter(col(idCol) < k).select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).map(_._2)
+    // a missing seed id would silently SHIFT every later centroid's index —
+    // fail loudly instead (centroid c must be the embedding of id c)
+    require(cents.length == k,
+      s"seed centroids need ids 0..${k - 1} present, found ${cents.length}")
+    cents
+  }
 
   /** One spherical k-means step (Dhillon & Modha, Machine Learning 2001)
     * over the current centroids: assign every vector by cosine, then
