@@ -125,44 +125,45 @@ object Bench {
     // the engine. A cluster scales scan I/O with executors; here the timed
     // region is the compute + shuffle + tier materialization over an
     // in-memory source (see BENCH.md "Sandbox evidence protocol").
+    val (n, timed) = cascadeImpl(spark, rawPath, timedCap = None)
+    (n, timed.get)
+  }
+
+  /** One cascade shot, optionally with a TIMED-REGION cap: the watchdog
+    * starts after the untimed cache populate, and past `timedCap` seconds
+    * the attempt is cancelled (`cancelAllJobs`) and reported as
+    * (rows, None). Rationale: a min-of-2's second shot whose timed wall has
+    * already passed the first shot's CANNOT improve the min — val9 measured
+    * a 120.8 s squall shot against a 59.2 s shot 1 that pushed the round
+    * 80 s past its estimate and starved the query pass of 19 queries, and
+    * val10's 83.2 s shot against 75.3 s slipped under a total-wall cap that
+    * included populate slack. The cap is on the region that decides.
+    */
+  private def cascadeImpl(spark: SparkSession, rawPath: String,
+      timedCap: Option[Double]): (Long, Option[Double]) = {
     val lakeBase = s"/dev/shm/graft-bench-lake-${java.util.UUID.randomUUID().toString.take(8)}"
     val obs = TokenFixture.deriveObs(spark.read.parquet(rawPath))
       .select("series", "ts", "seq", "value").persist()
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val timer = new java.util.Timer(true)
     try {
       val n = obs.count() // untimed cache populate (single pass over the source)
+      timedCap.foreach(cap => timer.schedule(new java.util.TimerTask {
+        def run(): Unit = { cancelled.set(true); spark.sparkContext.cancelAllJobs() }
+      }, math.max(1L, (cap * 1000).toLong)))
       val t0 = System.nanoTime()
-      TierCascade.run(spark, obs, lakeBase, seriesBuckets = 8, salts = 4,
-        withHistograms = true, withPages = true)
-      val secs = (System.nanoTime() - t0) / 1e9
-      (n, secs)
+      try {
+        TierCascade.run(spark, obs, lakeBase, seriesBuckets = 8, salts = 4,
+          withHistograms = true, withPages = true)
+        (n, Some((System.nanoTime() - t0) / 1e9))
+      } catch { case _: Throwable if cancelled.get() => (n, None) }
     } finally {
       // also runs when a capped shot is cancelled mid-flight: unpersist and
       // best-effort delete so an aborted shot leaks nothing into tmpfs
+      timer.cancel()
       obs.unpersist(blocking = false)
       deleteRec(new java.io.File(lakeBase))
     }
-  }
-
-  /** Run one cascade shot with a wall-clock cap: past `capSec` the attempt
-    * is cancelled (`cancelAllJobs`) and reported as None plus its actual
-    * cost. Rationale: a min-of-2's second shot that has already run longer
-    * than the first CANNOT improve the min — val9 measured a 120.8 s squall
-    * shot against a 59.2 s shot 1 that pushed the round 80 s past its
-    * estimate and starved the query pass of 19 queries.
-    */
-  private def cascadeCapped(spark: SparkSession, rawPath: String,
-      capSec: Double): (Option[(Long, Double)], Double) = {
-    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val timer = new java.util.Timer(true)
-    timer.schedule(new java.util.TimerTask {
-      def run(): Unit = { cancelled.set(true); spark.sparkContext.cancelAllJobs() }
-    }, math.max(1L, (capSec * 1000).toLong))
-    val t0 = System.nanoTime()
-    val out =
-      try Some(cascade(spark, rawPath))
-      catch { case _: Throwable if cancelled.get() => None }
-      finally timer.cancel()
-    (out, (System.nanoTime() - t0) / 1e9)
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -375,18 +376,19 @@ object Bench {
         res = res.copy(n = n, cascade = c1)
         partial(f"""{"level":$cpus,"phase":"cascade","shot":1,"sec":$c1%.2f,"rows":$n}""")
         if (c1 > rerunAbove) {
-          // capped at c1 + the untimed populate overhead: a shot 2 whose
-          // timed wall exceeds shot 1 cannot improve the min, so a squall
-          // costs at most ~shot 1 again instead of an unbounded wall
-          // (slack overridable for testing the abort path)
-          val slack = sys.env.getOrElse("SPARK_GRAFT_HI_CAP_SLACK", "30").toDouble
-          val (out, attemptSec) = cascadeCapped(s, rawPath, c1 + slack)
+          // timed region capped at c1 + grace: a shot 2 whose timed wall
+          // exceeds shot 1 cannot improve the min, so a squall costs at
+          // most ~shot 1 + the untimed populate instead of an unbounded
+          // wall (grace overridable for testing the abort path)
+          val grace = sys.env.getOrElse("SPARK_GRAFT_HI_CAP_SLACK", "5").toDouble
+          val tA = elapsedSec
+          val (_, out) = cascadeImpl(s, rawPath, timedCap = Some(c1 + grace))
           out match {
-            case Some((_, c2)) =>
+            case Some(c2) =>
               res = res.copy(cascade = math.min(c1, c2))
               partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":$c2%.2f,"rows":$n}""")
             case None =>
-              partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":$attemptSec%.2f,"rows":$n,"aborted":true}""")
+              partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":${elapsedSec - tA}%.2f,"rows":$n,"aborted":true}""")
           }
         }
       }
