@@ -525,8 +525,12 @@ object Bench {
     // fired rerun may overrun the estimate by ~one hi wall, which the query
     // reserve absorbs (the pass skips tail queries gracefully, and the
     // final JSON always prints).
+    // 1.02 margin: val11 missed its third round by 0.6 s under 1.05, and
+    // the downside of admitting a round that runs ~20 s long is bounded —
+    // lean rounds carry no rerun, the timed cap bounds a fired one, and the
+    // query pass sheds tail queries gracefully rather than losing the JSON
     def cascNextFits: Boolean =
-      cascRounds.isEmpty || left > (cascCost - cascRerunSec) * 1.05
+      cascRounds.isEmpty || left > (cascCost - cascRerunSec) * 1.02
     var progressed = true
     while (progressed) {
       progressed = false
