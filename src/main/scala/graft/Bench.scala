@@ -141,16 +141,22 @@ object Bench {
     */
   private def cascadeImpl(spark: SparkSession, rawPath: String,
       timedCap: Option[Double]): (Long, Option[Double]) = {
-    val lakeBase = s"/dev/shm/graft-bench-lake-${java.util.UUID.randomUUID().toString.take(8)}"
+    val lakeBase = s"/dev/shm/graft-bench-lake-${ownPid}-${java.util.UUID.randomUUID().toString.take(8)}"
     val obs = TokenFixture.deriveObs(spark.read.parquet(rawPath))
       .select("series", "ts", "seq", "value").persist()
     val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val timer = new java.util.Timer(true)
     try {
       val n = obs.count() // untimed cache populate (single pass over the source)
-      timedCap.foreach(cap => timer.schedule(new java.util.TimerTask {
+      // REPEATING cancel: the cascade's concurrent sink chains submit jobs
+      // one after another from their own threads — a single cancelAllJobs
+      // fired between two of a chain's jobs cancels nothing for it, and its
+      // next job would run its full squall wall. Refiring every 2 s until
+      // the finally below kills each newly-submitted job promptly, so the
+      // chain threads drain in seconds and the child can exit.
+      timedCap.foreach(cap => timer.scheduleAtFixedRate(new java.util.TimerTask {
         def run(): Unit = { cancelled.set(true); spark.sparkContext.cancelAllJobs() }
-      }, math.max(1L, (cap * 1000).toLong)))
+      }, math.max(1L, (cap * 1000).toLong), 2000L))
       val t0 = System.nanoTime()
       try {
         TierCascade.run(spark, obs, lakeBase, seriesBuckets = 8, salts = 4,
@@ -173,6 +179,31 @@ object Bench {
     }
     f.delete()
   }
+
+  private val ownPid: Long = ProcessHandle.current().pid()
+
+  /** Delete tmpfs lake dirs whose owning JVM (encoded in the dir name) is no
+    * longer alive — never a LIVE instance's dir, so a concurrently running
+    * bench (or a prior run's still-draining child) is not swept mid-write.
+    * Dirs from pre-PID naming are treated as stale.
+    */
+  private def sweepStaleLakeDirs(): Unit =
+    Option(new java.io.File("/dev/shm").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft-bench-lake-")).foreach { d =>
+        val pid = d.getName.stripPrefix("graft-bench-lake-").takeWhile(_.isDigit)
+        val live = pid.nonEmpty && pid.length < 10 &&
+          ProcessHandle.of(pid.toLong).isPresent
+        if (!live) deleteRec(d)
+      }
+
+  /** Post-`SparkSession.stop` sweep of THIS JVM's lake dirs: an aborted
+    * shot's cancelled tasks can recreate files after the in-flight
+    * deleteRec; once the context is stopped nothing writes anymore, so
+    * this pass is the one that guarantees zero leakage.
+    */
+  private def sweepOwnLakeDirs(): Unit =
+    Option(new java.io.File("/dev/shm").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"graft-bench-lake-$ownPid-")).foreach(deleteRec)
 
   /** As-of join scaling datapoint: probe the FULL obs stream keyed by
     * `source` — 8 heavily skewed keys, the exact shape where a
@@ -382,13 +413,23 @@ object Bench {
           // wall (grace overridable for testing the abort path)
           val grace = sys.env.getOrElse("SPARK_GRAFT_HI_CAP_SLACK", "5").toDouble
           val tA = elapsedSec
-          val (_, out) = cascadeImpl(s, rawPath, timedCap = Some(c1 + grace))
-          out match {
-            case Some(c2) =>
-              res = res.copy(cascade = math.min(c1, c2))
-              partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":$c2%.2f,"rows":$n}""")
-            case None =>
-              partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":${elapsedSec - tA}%.2f,"rows":$n,"aborted":true}""")
+          // a genuine shot-2 failure (not the watchdog) must never destroy
+          // the round: shot 1 is already measured and banked — the OPTIONAL
+          // extra shot degrades to "no improvement", it cannot subtract
+          try {
+            val (_, out) = cascadeImpl(s, rawPath, timedCap = Some(c1 + grace))
+            out match {
+              case Some(c2) =>
+                res = res.copy(cascade = math.min(c1, c2))
+                partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":$c2%.2f,"rows":$n}""")
+              case None =>
+                partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":${elapsedSec - tA}%.2f,"rows":$n,"aborted":true}""")
+            }
+          } catch {
+            case e: Exception =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                .replaceAll("[\"\\\\\n\r]", " ").take(80)
+              partial(f"""{"level":$cpus,"phase":"cascade","shot":2,"sec":${elapsedSec - tA}%.2f,"rows":$n,"aborted":true,"err":"$msg"}""")
           }
         }
       }
@@ -407,7 +448,10 @@ object Bench {
         partial(f"""{"level":$cpus,"phase":"cpu_control","sec":$cpuSec%.2f}""")
       }
       res
-    } finally s.stop()
+    } finally {
+      s.stop() // after this nothing writes — the own-dir sweep is final
+      sweepOwnLakeDirs()
+    }
   }
 
   /** Spawn a child JVM (same classpath + module opens + heap) running
@@ -459,6 +503,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every BENCH_PARTIAL / final JSON line is built with f"" interpolators,
+    // which format through the JVM default locale — a comma-decimal locale
+    // would corrupt the machine-read record (and the parent↔child threshold
+    // handshake). Pin ROOT in both the parent and the forked children.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     if (args.length >= 3 && args(0) == "level") {
       val phases = if (args.length >= 4) args(3) else "all"
       val r = runLevel(args(1).toInt, args(2), phases)
@@ -476,9 +525,8 @@ object Bench {
     val queriesReserve = 150.0
 
     // sweep tmpfs lake dirs a killed/aborted earlier run may have leaked
-    // (children run sequentially, so anything matching here is stale)
-    Option(new java.io.File("/dev/shm").listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("graft-bench-lake-")).foreach(deleteRec)
+    // (liveness-checked by owner PID — a concurrent instance is never hit)
+    sweepStaleLakeDirs()
 
     val rawPath = ensureRaw(benchN)
     partial(f"""{"phase":"datagen","sec":$elapsedSec%.2f,"n":$benchN}""")
@@ -546,7 +594,7 @@ object Bench {
           nSeq = math.max(nSeq, lo.n)
           cascLoSecs ::= lo.cascade
           val hiPhases =
-            if (withRerun) f"cascade2:${lo.cascade / (ratio * 0.85)}%.2f"
+            if (withRerun) s"cascade2:${lo.cascade / (ratio * 0.85)}"
             else "cascade1"
           val (hi, rerun) = runLevelForked(hiL, rawPath, hiPhases)
           cascRerunSec = rerun

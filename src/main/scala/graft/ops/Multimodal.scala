@@ -187,6 +187,35 @@ object Multimodal {
       else Some((rate, channels, dataSize * 1000L / byteRate))
     }
 
+  /** Shared raster guard for the pixel-level BMP ops: Some((w, h, dataOff,
+    * rowSize)) only for a bottom-up 24-bpp payload whose pixel data is
+    * fully present. Dimensions are bounded (≤ 2^15 per axis) and the length
+    * check runs in Long so a forged header cannot overflow `w*3` into a
+    * negative rowSize and slip past the truncation guard into a thrown
+    * index — the never-throw contract is this function's job.
+    */
+  private def bmp24Raster(payload: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    decodeBmp(payload) match {
+      case Some((w, h, 24)) if le32(payload, 22) > 0 && w <= 32768 && h <= 32768 =>
+        val dataOff = le32(payload, 10)
+        val rowSize = (w * 3 + 3) & ~3
+        if (dataOff < 54 || payload.length.toLong < dataOff.toLong + rowSize.toLong * h) None
+        else Some((w, h, dataOff, rowSize))
+      case _ => None
+    }
+
+  /** Shared data-chunk guard for the PCM WAV ops: Some((channels, nFrames))
+    * only when the declared data chunk is fully present.
+    */
+  private def wavPcmData(payload: Array[Byte]): Option[(Int, Int)] =
+    decodeWav(payload) match {
+      case Some((_, ch, _)) =>
+        val dataSize = le32(payload, 40)
+        if (dataSize < 0 || payload.length.toLong < 44L + dataSize) None
+        else Some((ch, dataSize / (ch * 2)))
+      case None => None
+    }
+
   /** Nearest-neighbor downsample of a 24-bpp bottom-up BMP by integer
     * `factor`: output pixel (x, y) = source pixel (x·factor, y·factor),
     * output dims ⌈w/factor⌉ × ⌈h/factor⌉, re-encoded as a VALID BMP (the
@@ -197,18 +226,11 @@ object Multimodal {
     */
   def resizeBmp(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
     require(factor >= 1)
-    decodeBmp(payload) match {
-      case Some((w, h, 24)) if le32(payload, 22) > 0 =>
-        val dataOff = le32(payload, 10)
-        val rowSize = (w * 3 + 3) & ~3
-        if (dataOff < 54 || payload.length < dataOff + rowSize.toLong * h) None
-        else {
-          val w2 = (w + factor - 1) / factor
-          val h2 = (h + factor - 1) / factor
-          Some(encodeBmpPixels(w2, h2, (x2, y2) =>
-            payload(dataOff + (h - 1 - y2 * factor) * rowSize + x2 * factor * 3) & 0xff))
-        }
-      case _ => None
+    bmp24Raster(payload).map { case (w, h, dataOff, rowSize) =>
+      val w2 = (w + factor - 1) / factor
+      val h2 = (h + factor - 1) / factor
+      encodeBmpPixels(w2, h2, (x2, y2) =>
+        payload(dataOff + (h - 1 - y2 * factor) * rowSize + x2 * factor * 3) & 0xff)
     }
   }
 
@@ -219,18 +241,12 @@ object Multimodal {
     */
   def frameSampleWav(payload: Array[Byte], n: Int): Option[Array[Byte]] = {
     require(n >= 1)
-    decodeWav(payload) match {
-      case Some((rate, ch, _)) =>
-        val blockAlign = ch * 2
-        val dataSize = le32(payload, 40)
-        if (dataSize < 0 || payload.length < 44 + dataSize.toLong) None
-        else {
-          val nFrames = dataSize / blockAlign
-          val nOut = (nFrames + n - 1) / n
-          Some(encodeWavPcm(rate, ch, nOut,
-            (f, c) => le16(payload, 44 + f * n * blockAlign + c * 2).toShort.toInt))
-        }
-      case None => None
+    wavPcmData(payload).map { case (ch, nFrames) =>
+      val rate = le32(payload, 24)
+      val blockAlign = ch * 2
+      val nOut = (nFrames + n - 1) / n
+      encodeWavPcm(rate, ch, nOut,
+        (f, c) => le16(payload, 44 + f * n * blockAlign + c * 2).toShort.toInt)
     }
   }
 
@@ -240,43 +256,29 @@ object Multimodal {
     * encode→resize→re-decode path a hard oracle target.
     */
   def bmpPixelCensus(payload: Array[Byte]): Option[(Int, Int, Long)] =
-    decodeBmp(payload) match {
-      case Some((w, h, 24)) if le32(payload, 22) > 0 =>
-        val dataOff = le32(payload, 10)
-        val rowSize = (w * 3 + 3) & ~3
-        if (dataOff < 54 || payload.length < dataOff + rowSize.toLong * h) None
-        else {
-          var sum = 0L; var y = 0
-          while (y < h) {
-            val rowOff = dataOff + (h - 1 - y) * rowSize
-            var x = 0
-            while (x < w) { sum += payload(rowOff + x * 3) & 0xff; x += 1 }
-            y += 1
-          }
-          Some((w, h, sum))
-        }
-      case _ => None
+    bmp24Raster(payload).map { case (w, h, dataOff, rowSize) =>
+      var sum = 0L; var y = 0
+      while (y < h) {
+        val rowOff = dataOff + (h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) { sum += payload(rowOff + x * 3) & 0xff; x += 1 }
+        y += 1
+      }
+      (w, h, sum)
     }
 
   /** Decoded PCM census of a WAV payload: (frame count, sum of channel-0
     * signed 16-bit samples).
     */
   def wavPcmCensus(payload: Array[Byte]): Option[(Int, Long)] =
-    decodeWav(payload) match {
-      case Some((_, ch, _)) =>
-        val blockAlign = ch * 2
-        val dataSize = le32(payload, 40)
-        if (dataSize < 0 || payload.length < 44 + dataSize.toLong) None
-        else {
-          val nFrames = dataSize / blockAlign
-          var sum = 0L; var f = 0
-          while (f < nFrames) {
-            sum += le16(payload, 44 + f * blockAlign).toShort.toLong
-            f += 1
-          }
-          Some((nFrames, sum))
-        }
-      case None => None
+    wavPcmData(payload).map { case (ch, nFrames) =>
+      val blockAlign = ch * 2
+      var sum = 0L; var f = 0
+      while (f < nFrames) {
+        sum += le16(payload, 44 + f * blockAlign).toShort.toLong
+        f += 1
+      }
+      (nFrames, sum)
     }
 
   /** Partition-batched decode: one pass, per-kind header parse, malformed

@@ -162,13 +162,36 @@ object Similarity {
     java.math.BigDecimal.valueOf(x).setScale(dp, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
+  /** THE sequential cosine fold every IVF code path shares — assignment,
+    * driver-side probe planning, and the probe-scoring UDF all call this
+    * one loop. The q56 oracle's exactness rests on every cosine using the
+    * identical IEEE add order (matching DuckDB's positional-unnest sum);
+    * keeping one copy is what prevents a reordered accumulation in one
+    * call site from breaking the oracle only at rounding boundaries.
+    */
+  private[ops] def cosSeq(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def toDoubles(v: Seq[Float]): Array[Double] = {
+    val a = new Array[Double](v.length)
+    var i = 0
+    while (i < a.length) { a(i) = v(i).toDouble; i += 1 }
+    a
+  }
+
   /** IVF (inverted-file) coarse quantizer: centroid `c` for a vector is the
     * argmax of cosine over the centroid set, ties to the smallest centroid
-    * id. Cosine is computed in one sequential JVM loop (same IEEE add order
-    * as the Catalyst `aggregate` fold and DuckDB's positional-unnest sum,
-    * which is what makes the q56 oracle exact) and compared ROUNDED to 6
-    * decimals so the argmax is stable cross-engine. A tight UDF loop, not a
-    * Catalyst HOF: 16 interpreted `aggregate` folds per row were the
+    * id. Cosine is the shared [[cosSeq]] sequential fold (same IEEE add
+    * order as the Catalyst `aggregate` fold and DuckDB's positional-unnest
+    * sum, which is what makes the q56 oracle exact) and is compared ROUNDED
+    * to 6 decimals so the argmax is stable cross-engine. A tight UDF loop,
+    * not a Catalyst HOF: 16 interpreted `aggregate` folds per row were the
     * measured ~40× MinHash mistake (Dedup.scala) — at 100 TB the assignment
     * map is the hot path.
     */
@@ -176,17 +199,14 @@ object Similarity {
       : org.apache.spark.sql.expressions.UserDefinedFunction = udf { (v: Seq[Float]) =>
     var best = -1 // null/empty vectors keep -1: never joins a probed list
     var bestCos = Double.NegativeInfinity
-    var c = if (v == null || v.isEmpty) cents.length else 0
-    while (c < cents.length) {
-      val cent = cents(c)
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < v.length) {
-        val x = v(i).toDouble; val y = cent(i)
-        d += x * y; na += x * x; nb += y * y; i += 1
+    if (v != null && v.nonEmpty) {
+      val a = toDoubles(v)
+      var c = 0
+      while (c < cents.length) {
+        val cos = roundHalfUp(cosSeq(a, cents(c)), 6)
+        if (cos > bestCos) { bestCos = cos; best = c } // strict: ties keep min id
+        c += 1
       }
-      val cos = roundHalfUp(d / (math.sqrt(na) * math.sqrt(nb)), 6)
-      if (cos > bestCos) { bestCos = cos; best = c } // strict: ties keep min id
-      c += 1
     }
     best
   }
@@ -272,16 +292,11 @@ object Similarity {
       emb.filter(col(idCol).isin(queryIds: _*)).select(col(idCol), col(vecCol))
         .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
         .toMap
-    def cosTo(q: Array[Double], cent: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < q.length) { d += q(i) * cent(i); na += q(i) * q(i); nb += cent(i) * cent(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
     val probePairs = queryIds.flatMap { qid =>
       val q = qVecs.getOrElse(qid,
         throw new IllegalArgumentException(s"query id $qid not in $idCol"))
       cents.zipWithIndex
-        .map { case (cent, cid) => (roundHalfUp(cosTo(q, cent), 6), cid) }
+        .map { case (cent, cid) => (roundHalfUp(cosSeq(q, cent), 6), cid) }
         .sortBy { case (cos, cid) => (-cos, cid) }
         .take(nProbe)
         .map { case (_, cid) => (qid, cid) }
@@ -291,13 +306,7 @@ object Similarity {
 
     val bcQ = spark.sparkContext.broadcast(qVecs)
     val qCos = udf { (qid: Long, v: Seq[Float]) =>
-      val q = bcQ.value(qid)
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < q.length) {
-        val x = q(i); val y = v(i).toDouble
-        d += x * y; na += x * x; nb += y * y; i += 1
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
+      cosSeq(bcQ.value(qid), toDoubles(v))
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

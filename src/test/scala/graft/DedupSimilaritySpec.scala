@@ -431,6 +431,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Multimodal.resizeBmp(ok.take(60), 2).isEmpty)
     // header-only BMPs (the q32 table) have no raster to resize
     assert(Multimodal.resizeBmp(Multimodal.encodeBmp(8, 8, 24), 2).isEmpty)
+    // forged width where w*3 overflows Int: the Long-domain raster guard
+    // must reject it instead of letting a negative rowSize pass the
+    // truncation check into a thrown index
+    val forged = Multimodal.encodeBmp(715827883, 4, 24)
+    assert(Multimodal.resizeBmp(forged, 2).isEmpty)
+    assert(Multimodal.bmpPixelCensus(forged).isEmpty)
   }
 
   // —— IVF ANN (inverted-file coarse quantizer + nProbe search) ——
