@@ -101,7 +101,10 @@ object SparkEntry {
     "q55_winnow_fingerprint" -> (DocQueries.winnowFingerprint _),
     "q56_ann_ivf" -> (MoreQueries.annIvf _),
     "q57_media_resize" -> ((s, d) => graft.ops.Multimodal.resizePipeline(s, d)),
-    "q58_audio_frame_sample" -> ((s, d) => graft.ops.Multimodal.frameSamplePipeline(s, d))
+    "q58_audio_frame_sample" -> ((s, d) => graft.ops.Multimodal.frameSamplePipeline(s, d)),
+    // —— batch 7 (round 4 cont.): dedup-group closure + curation compose ——
+    "q59_dedup_clusters" -> (MoreQueries.dedupClusters _),
+    "q60_corpus_curate" -> (DocQueries.corpusCurate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -419,6 +422,29 @@ object SparkEntry {
         |  FROM m)
         |SELECT media_id, n_out::INT AS n_frames_out, sum(v)::BIGINT AS sample_sum
         |FROM s GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
+    // q59: the q51 pair set closed into components by a recursive CTE —
+    // min-label closure over the symmetrized edges is exactly the
+    // large-star/small-star fixpoint the Spark operator converges to
+    "q59_dedup_clusters" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 8),
+        |ex AS (SELECT va, vb, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM cand),
+        |pr AS (SELECT va, vb FROM ex GROUP BY 1, 2
+        |  HAVING round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 5) >= 0.2),
+        |edges AS (SELECT va AS s, vb AS d FROM pr UNION SELECT vb, va FROM pr),
+        |nodes AS (SELECT DISTINCT s AS node FROM edges),
+        |reach(node, m) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.d, r.m FROM reach r JOIN edges e ON e.s = r.node),
+        |lab AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.node AS vec_id, lab.cluster_id::BIGINT AS cluster_id,
+        |  sz.cluster_size::BIGINT AS cluster_size
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+    "q60_corpus_curate" -> graft.queries.DocQueries.corpusCurateOracle,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

@@ -114,25 +114,36 @@ object DocQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("lang"), col("predicted"))
 
-  /** DuckDB twin of [[langId]], generated from the same profile table so the
-    * two rules cannot drift.
+  /** Per-doc predicted-language oracle fragment: CTEs ending in
+    * `pred(doc_id, lang, source, text, predicted)`, reading from a caller-
+    * defined CTE named `docs`. Shared by the q19 and q60 oracles — both are
+    * generated from the same [[langProfiles]] table as the UDF, so the SQL
+    * rule and the Scala rule cannot drift.
     */
-  val langIdOracle: String = {
+  val langPredCtes: String = {
     val scoreExprs = langProfiles.map { case (l, ws) =>
       ws.map(w => s"contains(t, ' $w ')::INT").mkString(" + ") + s" AS s_$l"
     }.mkString(",\n  ")
     val mx = langProfiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
     val cases = langProfiles.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
-    s"""WITH p AS (SELECT lang, ' ' || text || ' ' AS t FROM documents),
-       |s AS (SELECT lang,
+    s"""p AS (SELECT doc_id, lang, source, text, ' ' || text || ' ' AS t FROM docs),
+       |s AS (SELECT doc_id, lang, source, text,
        |  $scoreExprs
        |FROM p),
-       |m AS (SELECT *, $mx AS mx FROM s)
-       |SELECT lang,
-       |  CASE WHEN mx = 0 THEN 'other' $cases END AS predicted,
-       |  count(*) AS cnt
-       |FROM m GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+       |m AS (SELECT *, $mx AS mx FROM s),
+       |pred AS (SELECT doc_id, lang, source, text,
+       |  CASE WHEN mx = 0 THEN 'other' $cases END AS predicted
+       |FROM m)""".stripMargin
   }
+
+  /** DuckDB twin of [[langId]], generated from the same profile table so the
+    * two rules cannot drift.
+    */
+  val langIdOracle: String =
+    s"""WITH docs AS (SELECT doc_id, lang, source, text FROM documents),
+       |$langPredCtes
+       |SELECT lang, predicted, count(*) AS cnt
+       |FROM pred GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
 
   /** Token counting: whitespace tokens and a regex word-ish tokenizer. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
@@ -182,6 +193,60 @@ object DocQueries {
       |  CASE WHEN len(fps) = 0 THEN NULL ELSE list_min(fps) END AS min_fp,
       |  CASE WHEN len(fps) = 0 THEN NULL ELSE list_sum(fps)::BIGINT END AS fp_sum
       |FROM w ORDER BY doc_id""".stripMargin
+
+  /** q60: the corpus-curation pipeline composed end-to-end — the frame a
+    * training-data build actually ships: exact dedup (md5 keeper), language
+    * gate (stopword-profile argmax ≠ 'other'), length gate (20..80 whitespace
+    * words), reported as per-(source, drop-reason) doc and token counts. The
+    * first failing rule in the fixed order dup → lang → len names the reason;
+    * survivors are 'kept'. A deterministic clone of every 10th doc
+    * (doc_id + 10⁷, identical text — the q52 planting pattern) is unioned in
+    * so the dup branch provably fires on a table with no natural exact dups.
+    * Each stage is the repo's existing operator shape (q17's hash-groupBy,
+    * q19's language rule, q20's tokenizer); at 100 TB the only wide ops are
+    * one hash shuffle for the keeper groupBy and its equi-join back — both
+    * keyed on the content hash, both AQE-skew-safe.
+    */
+  def corpusCurate(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+    val clones = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val d = base.unionByName(clones)
+      .select(col("doc_id"), col("source"),
+        langIdUdf(col("text")).as("predicted"),
+        size(split(col("text"), " ")).cast("long").as("words"),
+        md5(col("text")).as("h"))
+    val keepers = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    d.join(keepers, "h")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keeper"), "dup")
+          .when(col("predicted") === "other", "lang")
+          .when(col("words") < 20 || col("words") > 80, "len")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("sum_tokens"))
+      .orderBy(col("source"), col("reason"))
+  }
+
+  /** DuckDB twin of [[corpusCurate]], sharing [[langPredCtes]]. */
+  val corpusCurateOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, lang, source, text FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |$langPredCtes,
+       |w AS (SELECT doc_id, source, predicted,
+       |  len(string_split(text, ' '))::BIGINT AS words, md5(text) AS h FROM pred),
+       |k AS (SELECT h, min(doc_id) AS keeper FROM w GROUP BY 1),
+       |r AS (SELECT w.source, w.words,
+       |  CASE WHEN w.doc_id <> k.keeper THEN 'dup'
+       |       WHEN w.predicted = 'other' THEN 'lang'
+       |       WHEN w.words < 20 OR w.words > 80 THEN 'len'
+       |       ELSE 'kept' END AS reason
+       |  FROM w JOIN k USING (h))
+       |SELECT source, reason, count(*) AS n_docs, sum(words)::BIGINT AS sum_tokens
+       |FROM r GROUP BY 1, 2 ORDER BY source, reason""".stripMargin
 
   /** Brute-force cosine similarity of every embedding against the vec_id=0
     * query vector (similarity-search baseline). Double-precision math via

@@ -288,7 +288,7 @@ object MoreQueries {
     * the deterministic-pair trick (q27's) that makes hash-free similarity
     * DuckDB-oracle-able; the production-scale LSH form is q52.
     */
-  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val e = DocQueries.embeddings(s, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("_ea"),
       explode(sequence(lit(1L), lit(8L))).as("_off"))
@@ -298,7 +298,29 @@ object MoreQueries {
       .select(col("vec_a"), col("vec_b"),
         round(Similarity.cosine(col("_ea"), col("_eb")), 5).as("cosine"))
       .filter(col("cosine") >= 0.2)
-      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame =
+    cosinePairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
+
+  /** q59: near-dup CLUSTER resolution — the q51 pair set closed into
+    * duplicate groups by graft.ops.Cluster (large-star/small-star connected
+    * components, SoCC'14). Output one row per clustered vector with its
+    * component's canonical (minimum) id and the component size — exactly the
+    * keep-one-per-group frame a corpus dedup pass consumes. The DuckDB oracle
+    * replays the same closure with a recursive CTE over the identical pair
+    * set, so the whole operator — pair gen, star rounds, label extraction —
+    * is cross-engine-pinned.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.ops.Cluster
+      .connectedComponents(cosinePairs(s, dir), "vec_a", "vec_b")
+      .select(col("node").as("vec_id"), col("cluster").as("cluster_id"))
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
   }
 
   /** q52: embedding near-dup via sign-LSH banding, provable-recall slice: a
