@@ -60,11 +60,30 @@ class LakeSpec extends AnyFunSuite {
     val lake = new LakeTable(spark, base, "wide", "pk")
     val df = spark.range(10000).select(
       (col("id") % 1000).cast("string").as("pk"), col("id").as("v"))
+    // Same-filesystem I/O control: the commit path is ~2 sequential file ops
+    // per partition (dir rename + manifest write) on /tmp's single virtual
+    // disk, whose latency drifts several-fold with machine weather. Bound
+    // the commit against a sequentially-measured 1000× (write + rename)
+    // control on the same filesystem rather than an absolute wall, so a
+    // slow-I/O window inflates both sides together.
+    val ctlDir = Files.createTempDirectory("lakectl")
+    val c0 = System.nanoTime()
+    (0 until 1000).foreach { i =>
+      val f = ctlDir.resolve(s"c$i.tmp")
+      Files.write(f, "control".getBytes)
+      Files.move(f, ctlDir.resolve(s"c$i.json"))
+    }
+    val ctlSecs = (System.nanoTime() - c0) / 1e9
     val t0 = System.nanoTime()
     val committed = lake.append(df, lineage = "wide test")
     val secs = (System.nanoTime() - t0) / 1e9
     assert(committed.size == 1000)
-    assert(secs < 90.0, f"1000-partition commit took $secs%.1f s") // ~seconds, generous VM margin
+    // Floor 150 s: a serialized per-partition commit (one Spark job each, the
+    // shape this test exists to forbid) measures 10+ minutes here, so the
+    // bound keeps its discriminative power even at the floor.
+    val bound = math.max(150.0, 40.0 * ctlSecs)
+    assert(secs < bound,
+      f"1000-partition commit took $secs%.1f s (control $ctlSecs%.2f s, bound $bound%.1f s)")
     assert(lake.read().count() == 10000)
     // resume skips everything
     assert(lake.append(df, lineage = "again").isEmpty)
