@@ -104,7 +104,12 @@ object SparkEntry {
     "q58_audio_frame_sample" -> ((s, d) => graft.ops.Multimodal.frameSamplePipeline(s, d)),
     // —— batch 7 (round 4 cont.): dedup-group closure + curation compose ——
     "q59_dedup_clusters" -> (MoreQueries.dedupClusters _),
-    "q60_corpus_curate" -> (DocQueries.corpusCurate _)
+    "q60_corpus_curate" -> (DocQueries.corpusCurate _),
+    // —— batch 8: hist-tier quantile read + provable slices for the two
+    // remaining hash-bound families (simhash banding, ANN LSH probe) ——
+    "q61_simhash_clones" -> (MoreQueries.simhashClones _),
+    "q62_ann_lsh_clones" -> (MoreQueries.annLshClones _),
+    "q63_hist_quantile" -> (MoreQueries.histQuantile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -445,6 +450,28 @@ object SparkEntry {
         |  sz.cluster_size::BIGINT AS cluster_size
         |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
     "q60_corpus_curate" -> graft.queries.DocQueries.corpusCurateOracle,
+    // q61: banding recall on identical text is provable (identical text ⇒
+    // identical simhash ⇒ all band keys collide) and the output is verified
+    // by exact text equality, so a text-equality self-join IS the result
+    "q61_simhash_clones" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 40 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM docs a JOIN docs b ON a.text = b.text AND b.doc_id > a.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q62: identical vector ⇒ identical sign bucket ⇒ the probe must surface
+    // every planted clone; output pinned to exact embedding equality
+    "q62_ann_lsh_clones" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 10000000 + i AS vec_id, embedding
+        |  FROM embeddings CROSS JOIN range(1, 6) t(i) WHERE vec_id = 0),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id FROM e, q WHERE e.embedding = q.qe ORDER BY vec_id""".stripMargin,
+    "q63_hist_quantile" -> graft.queries.MoreQueries.histQuantileOracle,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

@@ -436,4 +436,112 @@ object MoreQueries {
         floor(col("v")).cast("double").as("value"))
     graft.functions.Exporter.renderText(latest)
   }
+
+  /** Ladder for q63 — the top rung (250) sits BELOW max(value) (~490) so the
+    * rank-above-last-rung fallback (return the highest finite bound, the
+    * PromQL rule) is exercised deterministically at every SF.
+    */
+  private val HistLadder = Array(1.0, 2.5, 5.0, 10.0, 25.0, 50.0, 100.0, 250.0)
+
+  /** q63: `histogram_quantile` read over the histogram TIER path — raw events
+    * → cumulative-bucket 1m histogram (TierRollup.histogramFromObs) → 1m→1h
+    * tier merge (element-wise bucket add) → p50/p90/p99 interpolated from the
+    * merged cumulative counts (TierRollup.histogramQuantile, pure generated
+    * Catalyst arithmetic). The oracle replays bucketing, merge and
+    * interpolation in SQL GENERATED FROM THE SAME LADDER, so the two rules
+    * cannot drift. Everything downstream of the one rollup shuffle is
+    * arithmetic on (count, bucket-count array) cells — integer counts and
+    * ladder constants — so cross-engine float parity holds at round(·,4).
+    */
+  def histQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.tiers.TierRollup
+    val h1m = TierRollup.histogramFromObs(EventQueries.obs(s, dir), HistLadder, 60L)
+    val h1h = TierRollup.mergeHistogramTier(h1m, HistLadder.length, 3600L)
+    h1h.select(col("series"), col("bucket"),
+        col("h_count"),
+        round(TierRollup.histogramQuantile(HistLadder, 0.50), 4).as("p50"),
+        round(TierRollup.histogramQuantile(HistLadder, 0.90), 4).as("p90"),
+        round(TierRollup.histogramQuantile(HistLadder, 0.99), 4).as("p99"))
+      .orderBy(col("series"), col("bucket"))
+  }
+
+  /** DuckDB twin of [[histQuantile]]: cumulative counts via one
+    * sum(CASE) per rung, interpolation via a CASE chain — both rendered from
+    * [[HistLadder]] by [[histQuantileCase]]. */
+  val histQuantileOracle: String = {
+    val rungs = HistLadder.indices.map(i =>
+      s"sum(CASE WHEN value <= ${HistLadder(i)} THEN 1 ELSE 0 END)::DOUBLE AS c$i")
+      .mkString(",\n  ")
+    s"""WITH h AS (
+       |  SELECT event_type AS series,
+       |    (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket,
+       |    count(*) AS h_count,
+       |    $rungs
+       |  FROM events GROUP BY 1, 2)
+       |SELECT series, bucket, h_count,
+       |  round(${histQuantileCase(0.50)}, 4) AS p50,
+       |  round(${histQuantileCase(0.90)}, 4) AS p90,
+       |  round(${histQuantileCase(0.99)}, 4) AS p99
+       |FROM h ORDER BY series, bucket""".stripMargin
+  }
+
+  private def histQuantileCase(phi: Double): String = {
+    val rank = s"($phi * h_count)"
+    val whens = HistLadder.indices.map { i =>
+      val c = s"c$i"
+      val prevC = if (i == 0) "0.0" else s"c${i - 1}"
+      val lower = if (i == 0) 0.0 else HistLadder(i - 1)
+      s"WHEN $c >= $rank THEN $lower + (${HistLadder(i)} - $lower) * ($rank - $prevC) / ($c - $prevC)"
+    }.mkString(" ")
+    s"(CASE $whens ELSE ${HistLadder.last} END)"
+  }
+
+  /** q61: SimHash banding, provable-recall slice (the q28/q52 pattern applied
+    * to the one remaining hash-bound dedup family): a deterministic clone of
+    * every 40th doc (id+10⁷) is unioned in; identical text ⇒ identical 64-bit
+    * SimHash ⇒ every band key equal ⇒ guaranteed candidate (recall exactly
+    * 1.0 while any of the 4 bucket copies survives the maxBucket guard, sized
+    * far above any identical-text group here); candidates are then VERIFIED
+    * by exact text equality — the verify stage a production near-dup pass
+    * runs anyway — so the output is exactly the identical-text pair set and
+    * DuckDB's text-equality self-join is an exact oracle. The graded
+    * hamming<=3 mode stays q29 (rows) + brute-force ScalaTest.
+    */
+  def simhashClones(s: SparkSession, dir: String): DataFrame = {
+    val d = DocQueries.documents(s, dir)
+    val clones = d.filter(pmod(col("doc_id"), lit(40)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val u = d.unionByName(clones)
+    val pairs = Dedup.simhashPairs(u, "doc_id", "text", maxHamming = 0, maxBucket = 1024)
+    val t = u.select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("_ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("_tb")), "doc_b")
+      .filter(col("_ta") === col("_tb"))
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q62: ANN LSH probe retrieval, provable slice: 5 exact clones of the
+    * query vector (vec_id 0) are planted at ids 10⁷+1..5; an identical vector
+    * has an identical hyperplane-sign bucket, so the single-probe search MUST
+    * surface every clone at cosine 1.0 (the top of the ranking; ties break by
+    * id). The top-k output is then pinned to the provable slice by exact
+    * embedding equality, making DuckDB's embedding-equality scan an exact
+    * oracle for the index's retrieval path. The graded top-k modes stay
+    * q30/q46 (rows) + recall-monotonicity ScalaTest.
+    */
+  def annLshClones(s: SparkSession, dir: String): DataFrame = {
+    val e = DocQueries.embeddings(s, dir)
+    val q0 = e.filter(col("vec_id") === 0L)
+    val clones = (1 to 5).map(i =>
+      q0.withColumn("vec_id", lit(10000000L + i))).reduce(_ unionByName _)
+    val u = e.unionByName(clones)
+    val hits = Similarity.lshTopK(u, "vec_id", "embedding", queryId = 0L, k = 16)
+    hits.join(u.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q0.select(col("embedding").as("_qe"))))
+      .filter(col("embedding") === col("_qe"))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
 }

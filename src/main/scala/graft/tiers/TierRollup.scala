@@ -178,6 +178,37 @@ object TierRollup {
           (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("h_buckets"))
   }
 
+  /** Prometheus `histogram_quantile(phi, ·)` over a cumulative-bucket
+    * histogram cell (the read function for the hist_* tiers;
+    * /root/reference/lib/event/src/metric/mod.rs:53-61 defines the cumulative
+    * bucket layout this reads). Pure Catalyst arithmetic generated from the
+    * same Scala `ladder` the tier was built with — one `when` branch per rung,
+    * fully codegen'd, no UDF.
+    *
+    * Semantics (the published PromQL rule): rank = phi·count; the quantile is
+    * linearly interpolated inside the first rung whose cumulative count
+    * reaches the rank; the first rung's lower bound is 0 (`ladder` must be
+    * ascending and positive); a rank above the last rung (observations larger
+    * than every rung live only in `count`) returns the highest finite bound.
+    * Division is safe: the FIRST branch with c_i >= rank always has
+    * c_i > c_{i-1} (else the previous branch matched). Empty cells
+    * (count == 0) yield null.
+    */
+  def histogramQuantile(ladder: Array[Double], phi: Double,
+      countCol: Column = col("h_count"), bucketsCol: Column = col("h_buckets")): Column = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi must be in (0, 1]")
+    require(ladder.nonEmpty && ladder.head > 0 &&
+      ladder.sameElements(ladder.sorted), "ladder must be ascending and positive")
+    val rank = lit(phi) * countCol.cast("double")
+    val branches = ladder.indices.map { i =>
+      val c = element_at(bucketsCol, i + 1).cast("double")
+      val prevC = if (i == 0) lit(0.0) else element_at(bucketsCol, i).cast("double")
+      val lower = if (i == 0) lit(0.0) else lit(ladder(i - 1))
+      when(c >= rank, lower + (lit(ladder(i)) - lower) * (rank - prevC) / (c - prevC))
+    }
+    when(countCol > 0, coalesce(branches :+ lit(ladder.last): _*))
+  }
+
   /** Retention (exporter TTL GC analog,
     * /root/reference/src/sinks/prometheus_exporter.rs:457-482): keep only
     * cells within `ttlSec` of the high-water mark. In the lake layer this

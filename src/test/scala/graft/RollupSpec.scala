@@ -95,6 +95,31 @@ class RollupSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram_quantile: interpolation, first-rung lower bound 0, overflow fallback, empty null") {
+    import spark.implicits._
+    val ladder = Array(1.0, 2.0, 5.0, 10.0)
+    // (name, h_count, cumulative h_buckets)
+    val cells = Seq(
+      ("interp", 10L, Seq(2L, 3L, 5L, 10L)), // ranks land inside rungs
+      ("overflow", 5L, Seq(1L, 1L, 1L, 1L)), // 4 of 5 obs above the last rung
+      ("empty", 0L, Seq(0L, 0L, 0L, 0L))
+    ).toDF("name", "h_count", "h_buckets")
+    val got = cells.select(col("name"),
+        TierRollup.histogramQuantile(ladder, 0.20).as("p20"),
+        TierRollup.histogramQuantile(ladder, 0.50).as("p50"),
+        TierRollup.histogramQuantile(ladder, 0.90).as("p90"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // interp: rank(.2)=2 → first rung [0,1], full: 0+1*(2-0)/(2-0)=1.0;
+    // rank(.5)=5 → rung [2,5], prev 3: 2+3*(5-3)/(5-3)=5.0;
+    // rank(.9)=9 → rung [5,10], prev 5: 5+5*(9-5)/(10-5)=9.0
+    assert(got("interp") == (Some(1.0), Some(5.0), Some(9.0)))
+    // overflow: rank(.5)=2.5 and rank(.9)=4.5 exceed c_last=1 → highest
+    // finite bound; rank(.2)=1.0 still lands in the first rung: 0+1*1/1=1.0
+    assert(got("overflow") == (Some(1.0), Some(10.0), Some(10.0)))
+    assert(got("empty") == (None, None, None))
+  }
+
   test("delta/rate matches oracle incl. counter reset; first point is null") {
     import spark.implicits._
     // hand-built cumulative counter with one reset, two series
