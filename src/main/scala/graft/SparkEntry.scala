@@ -109,7 +109,9 @@ object SparkEntry {
     // remaining hash-bound families (simhash banding, ANN LSH probe) ——
     "q61_simhash_clones" -> (MoreQueries.simhashClones _),
     "q62_ann_lsh_clones" -> (MoreQueries.annLshClones _),
-    "q63_hist_quantile" -> (MoreQueries.histQuantile _)
+    "q63_hist_quantile" -> (MoreQueries.histQuantile _),
+    // —— batch 9: sequence packing (two-phase distributed prefix sum) ——
+    "q64_pack_census" -> (DocQueries.packCensusDocs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -472,6 +474,7 @@ object SparkEntry {
         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id FROM e, q WHERE e.embedding = q.qe ORDER BY vec_id""".stripMargin,
     "q63_hist_quantile" -> graft.queries.MoreQueries.histQuantileOracle,
+    "q64_pack_census" -> graft.queries.DocQueries.packCensusOracle,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing — laying pre-tokenized documents end-to-end into
+  * fixed-budget training sequences (the concat-and-chunk layout the
+  * north-star's own input table is made of: BASELINE.json input_hint's
+  * `(doc_id, tokens, n_tok, source)` rows ARE packed sequences). The core
+  * primitive is a cumulative token offset per document within its group — a
+  * grouped PREFIX SUM, which Spark's window functions compute in ONE TASK PER
+  * GROUP (`Window.partitionBy(source)` puts every row of a source on one
+  * executor — the classic 100 TB scale-killer for few-group corpora). This
+  * implements the textbook two-phase distributed scan instead:
+  *
+  *  phase 0  assign each row a DETERMINISTIC bucket, monotone in `orderCol`
+  *           (affine stretch of the order value over its [min,max] span — NOT
+  *           `repartitionByRange`, whose sampled bounds are seeded per-RDD-id
+  *           and may differ between the two jobs below, silently misaligning
+  *           the offsets), and hash-repartition on the bucket so each bucket
+  *           lands wholly in one task;
+  *  phase 1  per-(bucket, group) totals — a tiny aggregate (buckets ×
+  *           groups-touched rows) collected to the driver, turned into
+  *           exclusive carry-in offsets per group in bucket order, broadcast
+  *           back;
+  *  phase 2  one streaming pass per partition (sortWithinPartitions +
+  *           mapPartitions): running sum resets to the broadcast offset at
+  *           each (bucket, group) boundary.
+  *
+  * Parallelism is the bucket count at every step and no task ever holds more
+  * than its partition slice; the only driver materialization is the
+  * buckets×groups totals frame (documented `.collect()`, driver-safe by
+  * construction). Both jobs recompute the bucket as a pure function of the
+  * row, so they can never disagree about the layout.
+  */
+object Pack {
+
+  /** Adds `outCol` = exclusive prefix sum of `valueCol` (LONG) over rows of
+    * the same `groupCol`, ordered by `orderCol` (LONG, non-null, unique per
+    * group for a deterministic layout). Two-phase distributed scan; see
+    * object doc. `numParts` defaults to spark.sql.shuffle.partitions.
+    * `orderBounds` (min, max of `orderCol`, may be a superset) skips the
+    * one tiny bounds job — same contract as AsOfJoin.tsBounds.
+    */
+  def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, outCol: String = "ex_cum", numParts: Int = 0,
+      orderBounds: Option[(Long, Long)] = None): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(df.schema.fieldIndex(valueCol)).dataType == LongType,
+      s"$valueCol must be LONG (cast before calling)")
+    require(df.schema(df.schema.fieldIndex(orderCol)).dataType == LongType,
+      s"$orderCol must be LONG (cast before calling)")
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // ~4 buckets per partition smooths the hash→partition collision spread
+    val nBuckets = parts * 4
+
+    val (lo, hi) = orderBounds.getOrElse {
+      val r = df.agg(min(col(orderCol)), max(col(orderCol))).head()
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    }
+    // monotone in order by construction; clamp keeps rows outside a caller-
+    // supplied narrower bound monotone at the edges
+    val span = (hi - lo + 1).toDouble.max(1.0)
+    val bucketExpr = greatest(lit(0L), least(lit(nBuckets - 1L),
+      floor((col(orderCol) - lit(lo)).cast("double") / lit(span) * lit(nBuckets))
+        .cast("long")))
+
+    // phase 1: per-(bucket, group) totals — buckets × groups-touched rows,
+    // a driver-safe frame by construction (documented .collect())
+    val totals = df
+      .groupBy(bucketExpr.as("_b"), col(groupCol).as("_g"))
+      .agg(sum(col(valueCol)).as("_t"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1), r.getLong(2)))
+
+    // exclusive running total per group in bucket order = carry-in offset
+    val offsets = totals
+      .groupBy(_._2)
+      .flatMap { case (g, ts) =>
+        var run = 0L
+        ts.sortBy(_._1).iterator.map { case (b, _, t) =>
+          val o = ((b, g), run); run += t; o
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
+
+    // phase 2: streaming pass, running sum reset at each (bucket, group)
+    // boundary to the broadcast carry-in
+    val parted = df.withColumn("_pk_bucket", bucketExpr)
+      .repartition(parts, col("_pk_bucket"))
+      .sortWithinPartitions(col("_pk_bucket"), col(groupCol), col(orderCol))
+    val bi = parted.schema.fieldIndex("_pk_bucket")
+    val gi = parted.schema.fieldIndex(groupCol)
+    val vi = parted.schema.fieldIndex(valueCol)
+    val outSchema = parted.schema.add(outCol, LongType, nullable = false)
+    parted.mapPartitions { it =>
+      var curKey: (Long, Any) = null
+      var run = 0L
+      it.map { r =>
+        val key = (r.getLong(bi), r.get(gi))
+        if (curKey == null || key != curKey) {
+          curKey = key
+          run = bc.value.getOrElse(key, 0L)
+        }
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vi)
+        out
+      }
+    }(Encoders.row(outSchema)).drop("_pk_bucket")
+  }
+
+  /** Concat-and-chunk packing census: documents (one row each, `nTokCol`
+    * tokens, LONG) are laid end-to-end per `groupCol` in `orderCol` order and
+    * split into sequences of exactly `budget` tokens (documents may straddle
+    * a boundary — the GPT-style packed-dataset layout). Returns one row per
+    * (group, seq_id): documents touching the sequence, tokens landing in it,
+    * and how many entered mid-document (carried across the left boundary).
+    * Everything after the prefix sum is narrow per-row arithmetic + one
+    * census shuffle.
+    */
+  def packCensus(docs: DataFrame, groupCol: String, orderCol: String,
+      nTokCol: String, budget: Long, numParts: Int = 0,
+      orderBounds: Option[(Long, Long)] = None): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val b = lit(budget)
+    groupedPrefixSum(docs, groupCol, orderCol, nTokCol,
+        numParts = numParts, orderBounds = orderBounds)
+      .filter(col(nTokCol) > 0)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("ex_cum") / b).cast("long"),
+        floor((col("ex_cum") + col(nTokCol) - 1) / b).cast("long"))))
+      .withColumn("_tok_in",
+        least(col("ex_cum") + col(nTokCol), (col("seq_id") + 1) * b) -
+          greatest(col("ex_cum"), col("seq_id") * b))
+      .withColumn("_carried", when(col("ex_cum") < col("seq_id") * b, 1L).otherwise(0L))
+      .groupBy(col(groupCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok_in")).as("n_tok"),
+        sum(col("_carried")).as("n_carried"))
+  }
+}

@@ -268,4 +268,42 @@ object DocQueries {
         round(col("dot") / (col("na") * col("nq")), 5).as("cosine"))
       .orderBy(col("vec_id"))
   }
+
+  /** q64: sequence-packing census — documents laid end-to-end per source in
+    * doc_id order and chunked into 1000-token training sequences
+    * ([[graft.ops.Pack.packCensus]]'s two-phase distributed prefix sum; no
+    * per-source window task). Output per (source, seq_id): docs touching the
+    * sequence, tokens landing in it, docs carried across its left boundary.
+    */
+  def packCensusDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    graft.ops.Pack.packCensus(docs, "source", "doc_id", "n_tok", budget = 1000L)
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        col("n_tok").as("seq_tok"), col("n_carried"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** DuckDB twin of [[packCensusDocs]]: window-function exclusive prefix sum
+    * + generate_series explode — engine-independent of the bucketed layout.
+    */
+  val packCensusOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tok,
+      |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS ex_cum
+      |  FROM d),
+      |e AS (
+      |  SELECT source, ex_cum, n_tok,
+      |    unnest(range(ex_cum // 1000, (ex_cum + n_tok - 1) // 1000 + 1)) AS seq_id
+      |  FROM c WHERE n_tok > 0)
+      |SELECT source, seq_id, count(*) AS n_docs,
+      |  sum(least(ex_cum + n_tok, (seq_id + 1) * 1000)
+      |      - greatest(ex_cum, seq_id * 1000))::BIGINT AS seq_tok,
+      |  sum(CASE WHEN ex_cum < seq_id * 1000 THEN 1 ELSE 0 END)::BIGINT AS n_carried
+      |FROM e GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
 }

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.Pack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two-phase distributed grouped prefix sum vs the single-task window oracle,
+  * plus concat-and-chunk packing-census invariants.
+  */
+class PackSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Deterministic multi-group fixture: ids NOT contiguous per group (groups
+    * interleave in order space) and values vary so misaligned offsets show.
+    */
+  private def fixture(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val g = s"g${i % 3}"
+      (g, i.toLong * 7 % (n * 7), (i % 13 + 1).toLong)
+    }.toDF("grp", "ord", "v")
+  }
+
+  private def oracle(df: DataFrame): Map[(String, Long), Long] = {
+    val w = Window.partitionBy("grp").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("ex_cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("ord")) -> r.getAs[Long]("ex_cum"))
+      .toMap
+  }
+
+  private def got(df: DataFrame): Map[(String, Long), Long] =
+    df.collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("ord")) -> r.getAs[Long]("ex_cum"))
+      .toMap
+
+  test("groupedPrefixSum matches the window oracle at several partition counts") {
+    val df = fixture(5000)
+    val want = oracle(df)
+    for (parts <- Seq(1, 3, 8)) {
+      val g = got(Pack.groupedPrefixSum(df, "grp", "ord", "v", numParts = parts))
+      assert(g.size == want.size, s"parts=$parts row count")
+      assert(g == want, s"parts=$parts values")
+    }
+  }
+
+  test("caller orderBounds (superset) gives identical results") {
+    val df = fixture(2000)
+    val want = oracle(df)
+    val g = got(Pack.groupedPrefixSum(df, "grp", "ord", "v", numParts = 4,
+      orderBounds = Some((0L, 20000L))))
+    assert(g == want)
+  }
+
+  test("re-execution of the returned frame is stable (deterministic layout)") {
+    val df = fixture(1500)
+    val out = Pack.groupedPrefixSum(df, "grp", "ord", "v", numParts = 5)
+    val a = got(out)
+    val b = got(out) // second job over the same lazy plan re-runs both phases
+    assert(a == b)
+  }
+
+  test("packCensus invariants: conservation, full interior sequences, carries") {
+    val df = fixture(3000)
+    val budget = 97L
+    val census = Pack.packCensus(df, "grp", "ord", "v", budget, numParts = 4)
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tok"), r.getAs[Long]("n_carried")))
+
+    val totals = df.groupBy("grp").agg(sum("v").as("t")).collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Long]("t")).toMap
+
+    for ((g, t) <- totals) {
+      val rows = census.filter(_._1 == g).sortBy(_._2)
+      // seq ids are 0..last contiguous
+      assert(rows.map(_._2).toSeq == (0L until rows.length.toLong))
+      // conservation: every token lands in exactly one sequence
+      assert(rows.map(_._4).sum == t)
+      // every sequence but the last holds exactly `budget` tokens
+      assert(rows.dropRight(1).forall(_._4 == budget))
+      assert(rows.last._4 == (if (t % budget == 0) budget else t % budget))
+      // first sequence never starts mid-document
+      assert(rows.head._5 == 0L)
+      // a sequence carries at most one straddling document
+      assert(rows.forall(_._5 <= 1L))
+    }
+
+    // total doc touches = docs + number of boundary straddles
+    val straddles = census.map(_._5).sum
+    assert(census.map(_._3).sum == df.count() + straddles)
+  }
+
+  test("empty input yields empty output") {
+    val df = fixture(10).filter(col("v") > 100)
+    assert(Pack.groupedPrefixSum(df, "grp", "ord", "v").count() == 0)
+    assert(Pack.packCensus(df, "grp", "ord", "v", 10L).count() == 0)
+  }
+}
