@@ -111,7 +111,10 @@ object SparkEntry {
     "q62_ann_lsh_clones" -> (MoreQueries.annLshClones _),
     "q63_hist_quantile" -> (MoreQueries.histQuantile _),
     // —— batch 9: sequence packing (two-phase distributed prefix sum) ——
-    "q64_pack_census" -> (DocQueries.packCensusDocs _)
+    "q64_pack_census" -> (DocQueries.packCensusDocs _),
+    "q65_pii_redact" -> (DocQueries.piiRedact _),
+    "q66_doc_chunk" -> (DocQueries.docChunks _),
+    "q67_corpus_mix" -> (DocQueries.corpusMix _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -475,6 +478,9 @@ object SparkEntry {
         |SELECT e.vec_id FROM e, q WHERE e.embedding = q.qe ORDER BY vec_id""".stripMargin,
     "q63_hist_quantile" -> graft.queries.MoreQueries.histQuantileOracle,
     "q64_pack_census" -> graft.queries.DocQueries.packCensusOracle,
+    "q65_pii_redact" -> graft.queries.DocQueries.piiRedactOracle,
+    "q66_doc_chunk" -> graft.queries.DocQueries.docChunksOracle,
+    "q67_corpus_mix" -> graft.queries.DocQueries.corpusMixOracle,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

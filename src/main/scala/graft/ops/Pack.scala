@@ -41,11 +41,14 @@ object Pack {
     * group for a deterministic layout). Two-phase distributed scan; see
     * object doc. `numParts` defaults to spark.sql.shuffle.partitions.
     * `orderBounds` (min, max of `orderCol`, may be a superset) skips the
-    * one tiny bounds job — same contract as AsOfJoin.tsBounds.
+    * one tiny bounds job — same contract as AsOfJoin.tsBounds. When
+    * `orderCol` may collide within a group (e.g. a truncated hash rank),
+    * `tieCol` names a unique column that fixes the order among equals.
     */
   def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, outCol: String = "ex_cum", numParts: Int = 0,
-      orderBounds: Option[(Long, Long)] = None): DataFrame = {
+      orderBounds: Option[(Long, Long)] = None,
+      tieCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(df.schema.fieldIndex(valueCol)).dataType == LongType,
       s"$valueCol must be LONG (cast before calling)")
@@ -89,9 +92,11 @@ object Pack {
 
     // phase 2: streaming pass, running sum reset at each (bucket, group)
     // boundary to the broadcast carry-in
+    val sortCols = Seq(col("_pk_bucket"), col(groupCol), col(orderCol)) ++
+      tieCol.map(col)
     val parted = df.withColumn("_pk_bucket", bucketExpr)
       .repartition(parts, col("_pk_bucket"))
-      .sortWithinPartitions(col("_pk_bucket"), col(groupCol), col(orderCol))
+      .sortWithinPartitions(sortCols: _*)
     val bi = parted.schema.fieldIndex("_pk_bucket")
     val gi = parted.schema.fieldIndex(groupCol)
     val vi = parted.schema.fieldIndex(valueCol)

@@ -306,4 +306,118 @@ object DocQueries {
       |      - greatest(ex_cum, seq_id * 1000))::BIGINT AS seq_tok,
       |  sum(CASE WHEN ex_cum < seq_id * 1000 THEN 1 ELSE 0 END)::BIGINT AS n_carried
       |FROM e GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
+
+  /** q65: PII redaction — emails and IPv4s replaced by placeholder tokens
+    * (narrow per-row regex work; the only wide op is the per-source census).
+    * Synthetic text carries no natural PII, so a deterministic email+IP is
+    * planted per doc (same expression on both engines) to prove the
+    * redactors fire; the checksum is a 32-bit md5 prefix sum over the
+    * redacted text, order-insensitive and engine-agnostic.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+    val planted = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com via 10."), pmod(col("doc_id"), lit(256L)), lit(".0.1"))
+    val redacted = regexp_replace(regexp_replace(planted, emailRe, "<EMAIL>"),
+      ipRe, "<IP>")
+    documents(s, dir)
+      .select(col("source"),
+        size(regexp_extract_all(planted, lit(emailRe), lit(0))).cast("long").as("em"),
+        size(regexp_extract_all(planted, lit(ipRe), lit(0))).cast("long").as("ip"),
+        conv(substring(md5(redacted), 1, 8), 16, 10).cast("long").as("ck"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("em")).as("emails"),
+        sum(col("ip")).as("ips"), sum(col("ck")).as("checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[piiRedact]] (regexp_replace needs the 'g' flag; Spark
+    * replaces all matches by default).
+    */
+  val piiRedactOracle: String =
+    """WITH p AS (
+      |  SELECT source,
+      |    text || ' contact user' || doc_id::VARCHAR || '@example.com via 10.'
+      |         || (doc_id % 256)::VARCHAR || '.0.1' AS t
+      |  FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS em,
+      |    len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b'))::BIGINT AS ip,
+      |    ('0x' || substr(md5(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')), 1, 8))::BIGINT AS ck
+      |  FROM p)
+      |SELECT source, count(*) AS n_docs, sum(em)::BIGINT AS emails,
+      |  sum(ip)::BIGINT AS ips, sum(ck)::BIGINT AS checksum
+      |FROM r GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** q66: fixed-window document chunking with stride overlap (the RAG /
+    * context-window split): windows of 30 whitespace tokens every 20. One
+    * narrow explode per doc — chunk count rides the row, no shuffle until
+    * the caller aggregates. Per-chunk md5 makes the oracle content-exact.
+    */
+  def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val win = 30
+    val stride = 20
+    documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(win)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        substring(md5(concat_ws(" ", col("chunk"))), 1, 16).as("h"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** DuckDB twin of [[docChunks]] — list slices are 1-based inclusive on
+    * both engines and clamp at the end.
+    */
+  val docChunksOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |e AS (
+      |  SELECT doc_id, toks, unnest(range(0, len(toks), 20)) AS start
+      |  FROM d)
+      |SELECT doc_id, start // 20 AS chunk_id,
+      |  len(toks[start + 1 : start + 30])::BIGINT AS n_tok,
+      |  substr(md5(array_to_string(toks[start + 1 : start + 30], ' ')), 1, 16) AS h
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q67: corpus mixing under a per-source token budget — docs ranked by a
+    * deterministic hash (uniform "random" order both engines can compute:
+    * 60-bit md5 prefix), kept while the source's running token count stays
+    * under budget. The running count is [[graft.ops.Pack.groupedPrefixSum]]
+    * — no per-source window task; doc_id breaks rank ties exactly as the
+    * oracle's ORDER BY rnk, doc_id.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val budget = 500L
+    val d = documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("rnk"))
+    graft.ops.Pack.groupedPrefixSum(d, "source", "rnk", "n_tok",
+        tieCol = Some("doc_id"))
+      .filter(col("ex_cum") < budget)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("ex_cum"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** DuckDB twin of [[corpusMix]]. */
+  val corpusMixOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS rnk
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tok,
+      |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY rnk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS ex_cum
+      |  FROM d)
+      |SELECT source, doc_id, n_tok, ex_cum FROM c WHERE ex_cum < 500
+      |ORDER BY source, doc_id""".stripMargin
 }

@@ -100,6 +100,25 @@ class PackSpec extends AnyFunSuite {
     assert(census.map(_._3).sum == df.count() + straddles)
   }
 
+  test("tieCol fixes the order among colliding order values") {
+    import spark.implicits._
+    // every ord collides (ord = i % 5) — only the tie column orders rows
+    val df = (0 until 200).map(i => (s"g${i % 2}", (i % 5).toLong, i.toLong, (i % 7 + 1).toLong))
+      .toDF("grp", "ord", "id", "v")
+    val w = Window.partitionBy("grp").orderBy("ord", "id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("ex_cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("id")) -> r.getAs[Long]("ex_cum"))
+      .toMap
+    val g = Pack.groupedPrefixSum(df, "grp", "ord", "v", numParts = 4,
+        tieCol = Some("id"))
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("id")) -> r.getAs[Long]("ex_cum"))
+      .toMap
+    assert(g == want)
+  }
+
   test("empty input yields empty output") {
     val df = fixture(10).filter(col("v") > 100)
     assert(Pack.groupedPrefixSum(df, "grp", "ord", "v").count() == 0)
