@@ -114,7 +114,8 @@ object SparkEntry {
     "q64_pack_census" -> (DocQueries.packCensusDocs _),
     "q65_pii_redact" -> (DocQueries.piiRedact _),
     "q66_doc_chunk" -> (DocQueries.docChunks _),
-    "q67_corpus_mix" -> (DocQueries.corpusMix _)
+    "q67_corpus_mix" -> (DocQueries.corpusMix _),
+    "q68_pack_sequences" -> (DocQueries.packSequencesDocs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -481,6 +482,7 @@ object SparkEntry {
     "q65_pii_redact" -> graft.queries.DocQueries.piiRedactOracle,
     "q66_doc_chunk" -> graft.queries.DocQueries.docChunksOracle,
     "q67_corpus_mix" -> graft.queries.DocQueries.corpusMixOracle,
+    "q68_pack_sequences" -> graft.queries.DocQueries.packSequencesOracle,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

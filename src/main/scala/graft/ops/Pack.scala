@@ -145,4 +145,71 @@ object Pack {
       .agg(count(lit(1)).as("n_docs"), sum(col("_tok_in")).as("n_tok"),
         sum(col("_carried")).as("n_carried"))
   }
+
+  /** Materialized sequence packing: the training-data layout emitter. Token
+    * arrays (`toksCol`) are laid end-to-end per `groupCol` in `orderCol`
+    * order and re-cut into sequences of exactly `budget` tokens (the last
+    * sequence per group may be short). Returns (group, seq_id, tokens).
+    *
+    * Shape at scale: the prefix sum is the two-phase scan above; each doc
+    * then slices out the portion landing in each sequence it touches (narrow
+    * per-row work — a straddling doc appears in two rows), and sequences
+    * assemble in a streaming mapPartitions pass after one hash repartition on
+    * (group, seq_id) — memory per task is ONE sequence (`budget` tokens).
+    * `collect_list` assembly would demote the aggregate to SortAggregate and
+    * buffer GC-heavy rows (the Pages lesson, BENCH.md).
+    */
+  def packSequences(docs: DataFrame, groupCol: String, orderCol: String,
+      toksCol: String, budget: Long, numParts: Int = 0,
+      orderBounds: Option[(Long, Long)] = None): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val spark = docs.sparkSession
+    val b = lit(budget)
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val sliced = groupedPrefixSum(
+        docs.withColumn("_pk_ntok", size(col(toksCol)).cast("long")),
+        groupCol, orderCol, "_pk_ntok",
+        numParts = numParts, orderBounds = orderBounds)
+      .filter(col("_pk_ntok") > 0)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("ex_cum") / b).cast("long"),
+        floor((col("ex_cum") + col("_pk_ntok") - 1) / b).cast("long"))))
+      .withColumn("_s0", greatest(lit(0L), col("seq_id") * b - col("ex_cum")))
+      .withColumn("_s1",
+        least(col("_pk_ntok"), (col("seq_id") + 1) * b - col("ex_cum")))
+      .select(col(groupCol), col("seq_id"), col("ex_cum"),
+        slice(col(toksCol), (col("_s0") + 1).cast("int"),
+          (col("_s1") - col("_s0")).cast("int")).as("_part"))
+
+    val parted = sliced
+      .repartition(parts, col(groupCol), col("seq_id"))
+      .sortWithinPartitions(col(groupCol), col("seq_id"), col("ex_cum"))
+    val gi = parted.schema.fieldIndex(groupCol)
+    val si = parted.schema.fieldIndex("seq_id")
+    val pi = parted.schema.fieldIndex("_part")
+    val elemType = parted.schema(pi).dataType
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add(parted.schema(gi).copy(name = groupCol))
+      .add("seq_id", LongType, nullable = false)
+      .add("tokens", elemType, nullable = false)
+    parted.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Row = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = pending != null
+        def next(): Row = {
+          val g = pending.get(gi)
+          val s = pending.getLong(si)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+          while (pending != null && pending.get(gi) == g && pending.getLong(si) == s) {
+            buf ++= pending.getSeq[Any](pi)
+            pending = if (it.hasNext) it.next() else null
+          }
+          Row(g, s, buf.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

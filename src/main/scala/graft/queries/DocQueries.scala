@@ -420,4 +420,46 @@ object DocQueries {
       |  FROM d)
       |SELECT source, doc_id, n_tok, ex_cum FROM c WHERE ex_cum < 500
       |ORDER BY source, doc_id""".stripMargin
+
+  /** q68: MATERIALIZED sequence packing ([[graft.ops.Pack.packSequences]]) —
+    * the actual packed token streams, not just the census: whitespace tokens
+    * laid end-to-end per source in doc_id order, re-cut at 1000. The output
+    * hashes each sequence's reassembled content, so the oracle is exact on
+    * the token stream itself (boundary splits, straddle carries, ordering).
+    */
+  def packSequencesDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+    graft.ops.Pack.packSequences(d, "source", "doc_id", "toks", budget = 1000L)
+      .select(col("source"), col("seq_id"),
+        size(col("tokens")).cast("long").as("n_tok"),
+        substring(md5(concat_ws(" ", col("tokens"))), 1, 16).as("h"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** DuckDB twin of [[packSequencesDocs]] — window prefix sum, per-(doc,seq)
+    * list slices, ordered string_agg reassembly.
+    */
+  val packSequencesOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, toks, len(toks)::BIGINT AS n_tok,
+      |    COALESCE(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS ex_cum
+      |  FROM d),
+      |e AS (
+      |  SELECT source, toks, n_tok, ex_cum,
+      |    unnest(range(ex_cum // 1000, (ex_cum + n_tok - 1) // 1000 + 1)) AS seq_id
+      |  FROM c WHERE n_tok > 0),
+      |s AS (
+      |  SELECT source, seq_id, ex_cum,
+      |    array_to_string(toks[(greatest(0, seq_id * 1000 - ex_cum) + 1) :
+      |      least(n_tok, (seq_id + 1) * 1000 - ex_cum)], ' ') AS part,
+      |    least(n_tok, (seq_id + 1) * 1000 - ex_cum)
+      |      - greatest(0, seq_id * 1000 - ex_cum) AS part_len
+      |  FROM e)
+      |SELECT source, seq_id, sum(part_len)::BIGINT AS n_tok,
+      |  substr(md5(string_agg(part, ' ' ORDER BY ex_cum)), 1, 16) AS h
+      |FROM s GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
 }

@@ -119,6 +119,35 @@ class PackSpec extends AnyFunSuite {
     assert(g == want)
   }
 
+  test("packSequences: exact token-stream equality and sequence shapes") {
+    import spark.implicits._
+    val docs = (0 until 400).map { i =>
+      val g = s"g${i % 3}"
+      (g, i.toLong, (0 until (i % 17 + 1)).map(j => s"t${i}_$j"))
+    }.toDF("grp", "ord", "toks")
+    val budget = 64L
+    val seqs = Pack.packSequences(docs, "grp", "ord", "toks", budget, numParts = 4)
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("seq_id"),
+        r.getSeq[String](r.fieldIndex("tokens"))))
+
+    val wantStreams = docs.collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("ord"), r.getSeq[String](2)))
+      .groupBy(_._1)
+      .map { case (g, rows) => g -> rows.sortBy(_._2).flatMap(_._3).toSeq }
+
+    for ((g, want) <- wantStreams) {
+      val rows = seqs.filter(_._1 == g).sortBy(_._2)
+      // contiguous ids, exact-budget interior sequences, short tail allowed
+      assert(rows.map(_._2).toSeq == (0L until rows.length.toLong))
+      assert(rows.dropRight(1).forall(_._3.length == budget))
+      assert(rows.last._3.length <= budget && rows.last._3.nonEmpty)
+      // the packed stream IS the concatenated doc stream — token-array
+      // equality across the re-cut (north-rule per-row invariant)
+      assert(rows.flatMap(_._3).toSeq == want)
+    }
+  }
+
   test("empty input yields empty output") {
     val df = fixture(10).filter(col("v") > 100)
     assert(Pack.groupedPrefixSum(df, "grp", "ord", "v").count() == 0)
