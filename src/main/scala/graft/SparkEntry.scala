@@ -115,7 +115,11 @@ object SparkEntry {
     "q65_pii_redact" -> (DocQueries.piiRedact _),
     "q66_doc_chunk" -> (DocQueries.docChunks _),
     "q67_corpus_mix" -> (DocQueries.corpusMix _),
-    "q68_pack_sequences" -> (DocQueries.packSequencesDocs _)
+    "q68_pack_sequences" -> (DocQueries.packSequencesDocs _),
+    "q69_decontaminate" -> (DocQueries.decontaminate _),
+    "q70_vocab_topk" -> (DocQueries.vocabTopK _),
+    "q71_repetition_filter" -> (DocQueries.repetitionFilter _),
+    "q72_epoch_resample" -> (DocQueries.epochResample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -483,6 +487,10 @@ object SparkEntry {
     "q66_doc_chunk" -> graft.queries.DocQueries.docChunksOracle,
     "q67_corpus_mix" -> graft.queries.DocQueries.corpusMixOracle,
     "q68_pack_sequences" -> graft.queries.DocQueries.packSequencesOracle,
+    "q69_decontaminate" -> graft.queries.DocQueries.decontaminateOracle,
+    "q70_vocab_topk" -> graft.queries.DocQueries.vocabTopKOracle,
+    "q71_repetition_filter" -> graft.queries.DocQueries.repetitionFilterOracle,
+    "q72_epoch_resample" -> graft.queries.DocQueries.epochResampleOracle,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

@@ -462,4 +462,168 @@ object DocQueries {
       |SELECT source, seq_id, sum(part_len)::BIGINT AS n_tok,
       |  substr(md5(string_agg(part, ' ' ORDER BY ex_cum)), 1, 16) AS h
       |FROM s GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
+
+  /** q69: benchmark decontamination — flag training docs sharing any 8-gram
+    * with a benchmark set (here a 20-token slice of every 97th doc, i.e. a
+    * leaked split, so the overlap provably fires). The benchmark gram set is
+    * tiny by construction → BROADCAST equi-join on the gram hash; the
+    * training side streams its grams through the join with no global
+    * distinct (the per-doc distinct count happens on the matched subset
+    * only). At 100 TB: one narrow explode + one broadcast join + one
+    * doc-keyed shuffle of matches.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(slice(col("toks"), 6, 20).as("btoks"))
+      .filter(size(col("btoks")) >= 8)
+      .withColumn("i", explode(sequence(lit(1), size(col("btoks")) - 7)))
+      .select(md5(concat_ws(" ", slice(col("btoks"), col("i"), lit(8)))).as("g"))
+      .distinct()
+    docs.filter(size(col("toks")) >= 8)
+      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(8)))).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[decontaminate]]. */
+  val decontaminateOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |bt AS (
+      |  SELECT toks[6:25] AS btoks FROM t WHERE doc_id % 97 = 0),
+      |bg AS (
+      |  SELECT DISTINCT md5(array_to_string(btoks[i : i + 7], ' ')) AS g
+      |  FROM (SELECT btoks, unnest(range(1, len(btoks) - 6)) AS i
+      |        FROM bt WHERE len(btoks) >= 8)),
+      |grams AS (
+      |  SELECT doc_id, source, md5(array_to_string(toks[i : i + 7], ' ')) AS g
+      |  FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 6)) AS i
+      |        FROM t WHERE len(toks) >= 8))
+      |SELECT g.doc_id, g.source, count(DISTINCT g.g)::BIGINT AS n_shared
+      |FROM grams g JOIN bg USING (g)
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** q70: vocabulary mining — top-5 bigrams per source by count (the
+    * tokenizer/vocab-build census). The rank window runs over the ALREADY
+    * AGGREGATED (source, gram, cnt) frame — vocab-sized, not corpus-sized —
+    * with a deterministic (cnt desc, gram) tie-break.
+    */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val counted = documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 1)))
+      .select(col("source"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(2))).as("gram"))
+      .groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("gram"))
+    counted.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** DuckDB twin of [[vocabTopK]]. */
+  val vocabTopKOracle: String =
+    """WITH g AS (
+      |  SELECT source, array_to_string(toks[i : i + 1], ' ') AS gram
+      |  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i
+      |        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+      |        WHERE len(toks) >= 2)),
+      |c AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |r AS (SELECT source, gram, cnt,
+      |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram) AS rk
+      |  FROM c)
+      |SELECT source, gram, cnt, rk FROM r WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin
+
+  /** q71: repetition-degeneracy filter — distinct-3-gram ratio per doc flags
+    * looping/degenerate text. Synthetic docs are repetition-free, so every
+    * 13th doc is planted as text+text (ratio ≈ ½) and only those flag. The
+    * per-doc distinct count is one explode + one doc-keyed aggregate — no
+    * per-doc window, no driver loop.
+    */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val planted = documents(s, dir)
+      .withColumn("t",
+        when(pmod(col("doc_id"), lit(13L)) === 0, concat_ws(" ", col("text"), col("text")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source"), split(col("t"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    planted
+      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 2)))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(3)))).as("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("d3"))
+      .withColumn("r", round(col("d3").cast("double") / col("n3"), 4))
+      .filter(col("r") < 0.9)
+      .select(col("doc_id"), col("source"), col("n3"), col("d3"), col("r"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[repetitionFilter]]. */
+  val repetitionFilterOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    string_split(CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text
+      |                      ELSE text END, ' ') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, md5(array_to_string(toks[i : i + 2], ' ')) AS g
+      |  FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks) - 1)) AS i
+      |        FROM p WHERE len(toks) >= 3)),
+      |a AS (
+      |  SELECT doc_id, source, count(*)::BIGINT AS n3,
+      |    count(DISTINCT g)::BIGINT AS d3
+      |  FROM g GROUP BY 1, 2)
+      |SELECT doc_id, source, n3, d3, round(d3 / n3, 4) AS r
+      |FROM a WHERE round(d3 / n3, 4) < 0.9 ORDER BY doc_id""".stripMargin
+
+  /** q72: epoch resampling (upsampling under mixing weights) — each source
+    * gets a deterministic weight in {1.0, 1.75, 2.5, 3.25}; every doc repeats
+    * floor(w) times plus one more when its 32-bit md5 fraction falls under
+    * the fractional part (deterministic Bernoulli — both engines compute the
+    * identical exact rationals). Pure narrow explode; the census is the only
+    * shuffle.
+    */
+  def epochResample(s: SparkSession, dir: String): DataFrame = {
+    val w = lit(1.0) +
+      pmod(conv(substring(md5(col("source")), 1, 2), 16, 10).cast("long"), lit(4L))
+        .cast("double") * lit(0.75)
+    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val reps = (floor(w) + when(frac < w - floor(w), 1L).otherwise(0L)).cast("long")
+    documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"), reps.as("reps"))
+      .withColumn("epoch", explode(sequence(lit(1L), col("reps"))))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"), sum(col("n_tok")).as("sum_tok"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[epochResample]]. */
+  val epochResampleOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+      |    1.0 + (('0x' || substr(md5(source), 1, 2))::BIGINT % 4) * 0.75 AS w,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS frac
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, n_tok,
+      |    (floor(w) + CASE WHEN frac < w - floor(w) THEN 1 ELSE 0 END)::BIGINT AS reps
+      |  FROM d),
+      |e AS (SELECT source, doc_id, n_tok FROM r, unnest(range(1, reps + 1)))
+      |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+      |  count(*) AS n_rows, sum(n_tok)::BIGINT AS sum_tok
+      |FROM e GROUP BY 1 ORDER BY source""".stripMargin
 }
