@@ -61,6 +61,18 @@ object PlanDump {
         .explain("formatted")
     }
 
+    println("==== q64 packing census (two-phase prefix sum) ====")
+    queries.DocQueries.packCensusDocs(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    println("==== q68 materialized packing ====")
+    queries.DocQueries.packSequencesDocs(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    println("==== q69 decontamination (broadcast gram join check) ====")
+    queries.DocQueries.decontaminate(spark, "/root/testdata/sf0.01").explain("formatted")
+
+    println("==== q70 vocab top-k (window AFTER aggregate check) ====")
+    queries.DocQueries.vocabTopK(spark, "/root/testdata/sf0.01").explain("formatted")
+
     spark.stop()
   }
 }
