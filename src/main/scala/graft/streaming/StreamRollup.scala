@@ -133,4 +133,45 @@ object StreamRollup {
         ()
       }
       .start()
+
+  /** Streaming sequence packing — the stateful counterpart of
+    * [[graft.ops.Pack.packSequences]]: per group, token arrays concatenate
+    * in (arrival-batch, ord) order into fixed-budget sequences; the partial
+    * tail rides GroupState between micro-batches, so sequence boundaries
+    * come out identical to a batch run over the same arrival order. State
+    * per key stays under `budget` tokens after every batch.
+    *
+    * Input stream: (group: string, ord: long, toks: array<string>). Output:
+    * (group, seq_id, tokens) — COMPLETED sequences only; the final partial
+    * stays in state, like an open packing shard awaiting more documents.
+    */
+  def packStream(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.select(col("group").cast("string"), col("ord").cast("long"),
+        col("toks").cast("array<string>"))
+      .as[(String, Long, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[String]), (String, Long, Seq[String])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Seq[String])],
+            state: GroupState[(Long, Seq[String])]) =>
+          val (seq0, carry) = state.getOption.getOrElse((0L, Seq.empty[String]))
+          val buf = scala.collection.mutable.ArrayBuffer[String](carry: _*)
+          it.toArray.sortBy(_._2).foreach(buf ++= _._3)
+          var nextSeq = seq0
+          var idx = 0
+          val out = Vector.newBuilder[(String, Long, Seq[String])]
+          while (buf.length - idx >= budget) {
+            out += ((key, nextSeq, buf.slice(idx, idx + budget).toSeq))
+            nextSeq += 1
+            idx += budget
+          }
+          state.update((nextSeq, buf.drop(idx).toSeq))
+          out.result().iterator
+      }
+      .toDF("group", "seq_id", "tokens")
+  }
 }

@@ -139,4 +139,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted == batchAdmitted)
     assert(admitted == Seq(1L, 2L, 5L, 6L)) // 3,4 denied: burst spent, not yet refilled
   }
+
+  test("streaming packing carries partial sequences across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 10
+    def doc(g: String, ord: Long, n: Int): (String, Long, Seq[String]) =
+      (g, ord, (0 until n).map(j => s"${g}_${ord}_$j"))
+    val batches = Seq(
+      Seq(doc("a", 1, 7), doc("a", 2, 6), doc("b", 1, 4)),  // a: 13 → one seq + carry 3
+      Seq(doc("b", 2, 9), doc("a", 3, 17)),                 // a: 3+17 → two seqs; b: 13 → one + carry 3
+      Seq(doc("b", 3, 6))                                   // b: 3+6=9 < 10 → nothing emitted
+    )
+    val stream = MemoryStream[(String, Long, Seq[String])]
+    val packed = StreamRollup.packStream(
+      stream.toDF().toDF("group", "ord", "toks"), budget)
+    val q = packed.writeStream
+      .format("memory").queryName("pack_out")
+      .outputMode("append")
+      .start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("pack_out")
+      .collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Long]("seq_id"),
+        r.getSeq[String](r.fieldIndex("tokens"))))
+      .sortBy(t => (t._1, t._2))
+
+    // oracle: per group, concatenate tokens in (batch, ord) arrival order and
+    // cut at budget; completed sequences only (the tail stays in state)
+    val streams = batches.flatten.groupBy(_._1)
+      .map { case (g, ds) => g -> ds.sortBy(_._2).flatMap(_._3) }
+    val want = streams.toSeq.flatMap { case (g, ts) =>
+      ts.grouped(budget).zipWithIndex
+        .filter(_._1.length == budget)
+        .map { case (chunk, i) => (g, i.toLong, chunk) }
+    }.sortBy(t => (t._1, t._2))
+
+    assert(got.map(t => (t._1, t._2, t._3.toList)).toSeq ==
+      want.map(t => (t._1, t._2, t._3.toList)))
+    // every emitted sequence is exactly budget tokens
+    assert(got.forall(_._3.length == budget))
+  }
 }
