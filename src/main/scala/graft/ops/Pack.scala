@@ -65,10 +65,12 @@ object Pack {
       if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     }
     // monotone in order by construction; clamp keeps rows outside a caller-
-    // supplied narrower bound monotone at the edges
-    val span = (hi - lo + 1).toDouble.max(1.0)
+    // supplied narrower bound monotone at the edges. All arithmetic in
+    // double space: long→double is monotone (all bucketing needs) and
+    // immune to (hi-lo) overflow at extreme ranges
+    val span = (hi.toDouble - lo.toDouble + 1).max(1.0)
     val bucketExpr = greatest(lit(0L), least(lit(nBuckets - 1L),
-      floor((col(orderCol) - lit(lo)).cast("double") / lit(span) * lit(nBuckets))
+      floor((col(orderCol).cast("double") - lit(lo.toDouble)) / lit(span) * lit(nBuckets))
         .cast("long")))
 
     // phase 1: per-(bucket, group) totals — buckets × groups-touched rows,
