@@ -36,10 +36,20 @@ import org.apache.spark.sql.types.LongType
   */
 object Pack {
 
-  /** Adds `outCol` = exclusive prefix sum of `valueCol` (LONG) over rows of
-    * the same `groupCol`, ordered by `orderCol` (LONG, non-null, unique per
-    * group for a deterministic layout). Two-phase distributed scan; see
-    * object doc. `numParts` defaults to spark.sql.shuffle.partitions.
+  /** Group keys cross a driver map and JVM equality at the (bucket, group)
+    * boundary; Array[Byte] (BinaryType) has identity equals, so normalize it
+    * to a Seq — the same class of fix as asofBroadcast's Row-key toSeq.
+    */
+  private def normKey(a: Any): Any = a match {
+    case b: Array[Byte] => b.toSeq
+    case x => x
+  }
+
+  /** Adds `outCol` = exclusive prefix sum of `valueCol` (LONG, non-null)
+    * over rows of the same `groupCol`, ordered by `orderCol` (LONG,
+    * non-null, unique per group for a deterministic layout). Two-phase
+    * distributed scan; see object doc. `numParts` defaults to
+    * spark.sql.shuffle.partitions.
     * `orderBounds` (min, max of `orderCol`, may be a superset) skips the
     * one tiny bounds job — same contract as AsOfJoin.tsBounds. When
     * `orderCol` may collide within a group (e.g. a truncated hash rank),
@@ -54,6 +64,8 @@ object Pack {
       s"$valueCol must be LONG (cast before calling)")
     require(df.schema(df.schema.fieldIndex(orderCol)).dataType == LongType,
       s"$orderCol must be LONG (cast before calling)")
+    require(!df.columns.contains("_pk_bucket") && !df.columns.contains(outCol),
+      s"input must not already carry _pk_bucket or $outCol")
     val parts =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -69,9 +81,12 @@ object Pack {
     // double space: long→double is monotone (all bucketing needs) and
     // immune to (hi-lo) overflow at extreme ranges
     val span = (hi.toDouble - lo.toDouble + 1).max(1.0)
-    val bucketExpr = greatest(lit(0L), least(lit(nBuckets - 1L),
-      floor((col(orderCol).cast("double") - lit(lo.toDouble)) / lit(span) * lit(nBuckets))
-        .cast("long")))
+    // least/greatest skip nulls, which would silently send a null order to
+    // the last bucket — propagate the null instead so phase 1 fails fast
+    val bucketExpr = when(col(orderCol).isNull, lit(null).cast("long"))
+      .otherwise(greatest(lit(0L), least(lit(nBuckets - 1L),
+        floor((col(orderCol).cast("double") - lit(lo.toDouble)) / lit(span) * lit(nBuckets))
+          .cast("long"))))
 
     // phase 1: per-(bucket, group) totals — buckets × groups-touched rows,
     // a driver-safe frame by construction (documented .collect())
@@ -79,7 +94,12 @@ object Pack {
       .groupBy(bucketExpr.as("_b"), col(groupCol).as("_g"))
       .agg(sum(col(valueCol)).as("_t"))
       .collect()
-      .map(r => (r.getLong(0), r.get(1), r.getLong(2)))
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(2),
+          s"$orderCol and $valueCol must be non-null (null ${
+            if (r.isNullAt(0)) orderCol else valueCol} encountered)")
+        (r.getLong(0), normKey(r.get(1)), r.getLong(2))
+      }
 
     // exclusive running total per group in bucket order = carry-in offset
     val offsets = totals
@@ -107,7 +127,9 @@ object Pack {
       var curKey: (Long, Any) = null
       var run = 0L
       it.map { r =>
-        val key = (r.getLong(bi), r.get(gi))
+        if (r.isNullAt(vi))
+          throw new IllegalArgumentException(s"null $valueCol in prefix-sum input")
+        val key = (r.getLong(bi), normKey(r.get(gi)))
         if (curKey == null || key != curKey) {
           curKey = key
           run = bc.value.getOrElse(key, 0L)
@@ -133,12 +155,15 @@ object Pack {
       orderBounds: Option[(Long, Long)] = None): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
     val b = lit(budget)
+    // seq spans via integer `div`, not floor(double /): doubles lose
+    // exactness past 2^53 cumulative tokens per group (bucketing math may be
+    // double — it only needs monotonicity; these quotients must be exact)
     groupedPrefixSum(docs, groupCol, orderCol, nTokCol,
         numParts = numParts, orderBounds = orderBounds)
       .filter(col(nTokCol) > 0)
       .withColumn("seq_id", explode(sequence(
-        floor(col("ex_cum") / b).cast("long"),
-        floor((col("ex_cum") + col(nTokCol) - 1) / b).cast("long"))))
+        expr(s"ex_cum div $budget"),
+        expr(s"(ex_cum + `$nTokCol` - 1) div $budget"))))
       .withColumn("_tok_in",
         least(col("ex_cum") + col(nTokCol), (col("seq_id") + 1) * b) -
           greatest(col("ex_cum"), col("seq_id") * b))
@@ -171,14 +196,17 @@ object Pack {
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    require(Seq("_pk_ntok", "seq_id", "ex_cum", "_part", "tokens")
+        .forall(!docs.columns.contains(_)),
+      "input must not already carry _pk_ntok/seq_id/ex_cum/_part/tokens")
     val sliced = groupedPrefixSum(
         docs.withColumn("_pk_ntok", size(col(toksCol)).cast("long")),
         groupCol, orderCol, "_pk_ntok",
         numParts = numParts, orderBounds = orderBounds)
       .filter(col("_pk_ntok") > 0)
       .withColumn("seq_id", explode(sequence(
-        floor(col("ex_cum") / b).cast("long"),
-        floor((col("ex_cum") + col("_pk_ntok") - 1) / b).cast("long"))))
+        expr(s"ex_cum div $budget"),
+        expr(s"(ex_cum + _pk_ntok - 1) div $budget"))))
       .withColumn("_s0", greatest(lit(0L), col("seq_id") * b - col("ex_cum")))
       .withColumn("_s1",
         least(col("_pk_ntok"), (col("seq_id") + 1) * b - col("ex_cum")))
@@ -202,14 +230,16 @@ object Pack {
         private var pending: Row = if (it.hasNext) it.next() else null
         def hasNext: Boolean = pending != null
         def next(): Row = {
-          val g = pending.get(gi)
+          val gRaw = pending.get(gi)
+          val g = normKey(gRaw) // value equality for BinaryType group keys
           val s = pending.getLong(si)
           val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
-          while (pending != null && pending.get(gi) == g && pending.getLong(si) == s) {
+          while (pending != null && normKey(pending.get(gi)) == g &&
+              pending.getLong(si) == s) {
             buf ++= pending.getSeq[Any](pi)
             pending = if (it.hasNext) it.next() else null
           }
-          Row(g, s, buf.toSeq)
+          Row(gRaw, s, buf.toSeq)
         }
       }
     }(Encoders.row(outSchema))

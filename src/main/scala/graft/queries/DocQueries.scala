@@ -464,13 +464,17 @@ object DocQueries {
       |FROM s GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin
 
   /** q69: benchmark decontamination — flag training docs sharing any 8-gram
-    * with a benchmark set (here a 20-token slice of every 97th doc, i.e. a
-    * leaked split, so the overlap provably fires). The benchmark gram set is
-    * tiny by construction → BROADCAST equi-join on the gram hash; the
-    * training side streams its grams through the join with no global
-    * distinct (the per-doc distinct count happens on the matched subset
-    * only). At 100 TB: one narrow explode + one broadcast join + one
-    * doc-keyed shuffle of matches.
+    * with a benchmark set. A real benchmark is FIXED-SIZE (a few thousand
+    * eval documents regardless of corpus size), which is what licenses the
+    * BROADCAST equi-join on the gram hash; the training side then streams
+    * its grams through the join with no global distinct (the per-doc
+    * distinct count happens on the matched subset only) — one narrow explode
+    * + one broadcast join + one doc-keyed shuffle of matches at any corpus
+    * scale. The test fixture plants the benchmark as a 20-token slice of
+    * every 97th doc (a leaked split, so the overlap provably fires); that
+    * %-of-corpus rule is fixture convenience on the fixed 500-doc table, not
+    * the operator's contract — a corpus-proportional benchmark would need
+    * the shuffled-join fallback instead of broadcast.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)

@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object PackProbe {
   def main(args: Array[String]): Unit = {
+    // machine-read JSON: pin the locale so %.2f never emits comma decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = args.headOption.map(_.toInt).getOrElse(8)
     val nDocs = if (args.length > 1) args(1).toLong else 4000000L
     val spark = SparkSession.builder().master(s"local[$cpus]")
