@@ -119,7 +119,8 @@ object SparkEntry {
     "q69_decontaminate" -> (DocQueries.decontaminate _),
     "q70_vocab_topk" -> (DocQueries.vocabTopK _),
     "q71_repetition_filter" -> (DocQueries.repetitionFilter _),
-    "q72_epoch_resample" -> (DocQueries.epochResample _)
+    "q72_epoch_resample" -> (DocQueries.epochResample _),
+    "q73_train_shuffle" -> (DocQueries.trainShuffle _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -491,6 +492,7 @@ object SparkEntry {
     "q70_vocab_topk" -> graft.queries.DocQueries.vocabTopKOracle,
     "q71_repetition_filter" -> graft.queries.DocQueries.repetitionFilterOracle,
     "q72_epoch_resample" -> graft.queries.DocQueries.epochResampleOracle,
+    "q73_train_shuffle" -> graft.queries.DocQueries.trainShuffleOracle,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

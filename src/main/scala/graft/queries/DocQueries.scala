@@ -630,4 +630,32 @@ object DocQueries {
       |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
       |  count(*) AS n_rows, sum(n_tok)::BIGINT AS sum_tok
       |FROM e GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** q73: deterministic global training-order shuffle with a MATERIALIZED
+    * position — the "shuffle the corpus before packing" step. Order key is
+    * the 60-bit md5 of doc_id (doc_id tie-break); the 0-based global
+    * position is [[graft.ops.Pack.groupedPrefixSum]] with one constant
+    * group and value 1 — a distributed zipWithIndex whose parallelism is
+    * the bucket count, where a row_number() over a global ORDER BY would
+    * run in one task.
+    */
+  def trainShuffle(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("rnk"))
+      .withColumn("_g", lit(1)).withColumn("_one", lit(1L))
+    graft.ops.Pack.groupedPrefixSum(d, "_g", "rnk", "_one",
+        outCol = "pos", tieCol = Some("doc_id"))
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy(col("pos"))
+  }
+
+  /** DuckDB twin of [[trainShuffle]]. */
+  val trainShuffleOracle: String =
+    """SELECT doc_id, source,
+      |  (row_number() OVER (
+      |     ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+      |              doc_id) - 1)::BIGINT AS pos
+      |FROM documents ORDER BY pos""".stripMargin
 }
