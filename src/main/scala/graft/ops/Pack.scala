@@ -188,7 +188,8 @@ object Pack {
     */
   def packSequences(docs: DataFrame, groupCol: String, orderCol: String,
       toksCol: String, budget: Long, numParts: Int = 0,
-      orderBounds: Option[(Long, Long)] = None): DataFrame = {
+      orderBounds: Option[(Long, Long)] = None,
+      tieCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
     val spark = docs.sparkSession
     val b = lit(budget)
@@ -196,13 +197,14 @@ object Pack {
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    require(Seq("_pk_ntok", "seq_id", "ex_cum", "_part", "tokens")
-        .forall(!docs.columns.contains(_)),
-      "input must not already carry _pk_ntok/seq_id/ex_cum/_part/tokens")
+    // working names (_pk_ntok/seq_id/_s0/_s1/_part) may collide with input
+    // columns: withColumn replaces them and the fixed output projection
+    // drops every input extra, so no guard is needed beyond
+    // groupedPrefixSum's own (_pk_bucket / ex_cum)
     val sliced = groupedPrefixSum(
         docs.withColumn("_pk_ntok", size(col(toksCol)).cast("long")),
         groupCol, orderCol, "_pk_ntok",
-        numParts = numParts, orderBounds = orderBounds)
+        numParts = numParts, orderBounds = orderBounds, tieCol = tieCol)
       .filter(col("_pk_ntok") > 0)
       .withColumn("seq_id", explode(sequence(
         expr(s"ex_cum div $budget"),

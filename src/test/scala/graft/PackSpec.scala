@@ -168,6 +168,33 @@ class PackSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("packed-sequence lake commit is resumable and read-back exact") {
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      (f"doc-$i%06d", s"src${i % 4}", (0 until (i % 9 + 1)).map(j => i * 100 + j))
+    }.toDF("doc_id", "source", "tokens")
+      .withColumn("_ord",
+        conv(substring(md5(col("doc_id")), 1, 15), 16, 10).cast("long"))
+    val packed = Pack.packSequences(docs, "source", "_ord", "tokens", 32L,
+        tieCol = Some("doc_id"))
+      .withColumn("pk", concat(col("source"), lit("_"), expr("seq_id div 4")))
+
+    val base = java.nio.file.Files.createTempDirectory("pack_lake").toString
+    val lake = new graft.lake.LakeTable(spark, base, "packed_32", "pk")
+    val n1 = lake.append(packed, "pack run 1")
+    assert(n1.nonEmpty)
+    // identical re-submit: every partition already committed, zero new
+    val n2 = lake.append(packed, "pack rerun")
+    assert(n2.isEmpty)
+
+    def census(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Int] =
+      df.select(col("source"), col("seq_id"), col("tokens")).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id")) ->
+          r.getSeq[Int](r.fieldIndex("tokens")).hashCode())
+        .toMap
+    assert(census(lake.read()) == census(packed))
+  }
+
   test("empty input yields empty output") {
     val df = fixture(10).filter(col("v") > 100)
     assert(Pack.groupedPrefixSum(df, "grp", "ord", "v").count() == 0)
