@@ -120,7 +120,9 @@ object SparkEntry {
     "q70_vocab_topk" -> (DocQueries.vocabTopK _),
     "q71_repetition_filter" -> (DocQueries.repetitionFilter _),
     "q72_epoch_resample" -> (DocQueries.epochResample _),
-    "q73_train_shuffle" -> (DocQueries.trainShuffle _)
+    "q73_train_shuffle" -> (DocQueries.trainShuffle _),
+    "q74_dup_spans" -> (DocQueries.dupSpans _),
+    "q75_tfidf_topk" -> (DocQueries.tfidfTopK _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -493,6 +495,8 @@ object SparkEntry {
     "q71_repetition_filter" -> graft.queries.DocQueries.repetitionFilterOracle,
     "q72_epoch_resample" -> graft.queries.DocQueries.epochResampleOracle,
     "q73_train_shuffle" -> graft.queries.DocQueries.trainShuffleOracle,
+    "q74_dup_spans" -> graft.queries.DocQueries.dupSpansOracle,
+    "q75_tfidf_topk" -> graft.queries.DocQueries.tfidfTopKOracle,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

@@ -658,4 +658,90 @@ object DocQueries {
       |     ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
       |              doc_id) - 1)::BIGINT AS pos
       |FROM documents ORDER BY pos""".stripMargin
+
+  /** q74: duplicated-span census — substring-level duplication (20-token
+    * spans shared by ≥2 distinct docs), the span-dedup signal from the
+    * training-data dedup literature (vs q17's whole-doc hash). Clones of
+    * every 10th doc are planted (the q60 pattern) so cross-doc spans
+    * provably exist. One gram explode + one hash-keyed census shuffle; the
+    * output is the tiny sharing-degree distribution.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val clones = base.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    base.unionByName(clones)
+      .filter(size(col("toks")) >= 20)
+      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 19)))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(20)))).as("g"))
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+      .filter(col("n_docs_sharing") >= 2)
+      .groupBy(col("n_docs_sharing"))
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy(col("n_docs_sharing"))
+  }
+
+  /** DuckDB twin of [[dupSpans]]. */
+  val dupSpansOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, string_split(text, ' ') FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |g AS (
+      |  SELECT doc_id, md5(array_to_string(toks[i : i + 19], ' ')) AS g
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 18)) AS i
+      |        FROM d WHERE len(toks) >= 20)),
+      |c AS (
+      |  SELECT g, count(DISTINCT doc_id)::BIGINT AS n_docs_sharing
+      |  FROM g GROUP BY 1)
+      |SELECT n_docs_sharing, count(*) AS n_spans
+      |FROM c WHERE n_docs_sharing >= 2
+      |GROUP BY 1 ORDER BY n_docs_sharing""".stripMargin
+
+  /** q75: tf-idf distinctive tokens — top-5 tokens per source by
+    * tf × (nSources/df). The idf is the RATIONAL form, not ln(): IEEE
+    * division is exactly rounded and therefore engine-identical, while libm
+    * ln() may differ in the last ulp between the JVM and DuckDB and flip a
+    * rounded hash. Rank window runs over the aggregated (source, token)
+    * frame; df comes from a broadcast-sized distinct-source census.
+    */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("source"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "token")
+      .withColumn("score", round(col("tf") * lit(20.0) / col("df"), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("token"), col("tf"), col("df"), col("score"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** DuckDB twin of [[tfidfTopK]]. */
+  val tfidfTopKOracle: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (
+      |  SELECT token, count(*)::BIGINT AS df
+      |  FROM (SELECT DISTINCT source, token FROM t) GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.source, tf.token, tf.tf, df.df,
+      |    round(tf.tf * 20.0 / df.df, 4) AS score
+      |  FROM tf JOIN df USING (token)),
+      |r AS (
+      |  SELECT source, token, tf, df, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rk
+      |  FROM sc)
+      |SELECT source, token, tf, df, score, rk FROM r WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin
 }
