@@ -195,6 +195,34 @@ class PackSpec extends AnyFunSuite {
     assert(census(lake.read()) == census(packed))
   }
 
+  test("one-group corpus: correct and partition-spread (the claimed scale win)") {
+    import spark.implicits._
+    val df = (0 until 100000).map(i => ("all", i.toLong, (i % 3 + 1).toLong))
+      .toDF("grp", "ord", "v")
+    val out = Pack.groupedPrefixSum(df, "grp", "ord", "v", numParts = 8)
+    // exact closed form: v cycles 1,2,3 so ex_cum(i) = sum of first i terms
+    val got = out.collect()
+      .map(r => r.getAs[Long]("ord") -> r.getAs[Long]("ex_cum")).toMap
+    def cf(i: Long): Long = (i / 3) * 6 + (if (i % 3 >= 1) 1 else 0) + (if (i % 3 >= 2) 2 else 0)
+    assert(got.size == 100000)
+    assert((0L until 100000L).forall(i => got(i) == cf(i)))
+    // the single group spreads over >1 task (a window would pin it to one)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val tasksUsed = out.select(spark_partition_id()).distinct().count()
+    assert(tasksUsed > 1, s"one group should spread across tasks, used $tasksUsed")
+  }
+
+  test("budget larger than a group's total yields one short sequence") {
+    import spark.implicits._
+    val docs = Seq(("g", 1L, Seq("a", "b")), ("g", 2L, Seq("c")))
+      .toDF("grp", "ord", "toks")
+    val seqs = Pack.packSequences(docs, "grp", "ord", "toks", budget = 100L)
+      .collect()
+    assert(seqs.length == 1)
+    assert(seqs.head.getAs[Long]("seq_id") == 0L)
+    assert(seqs.head.getSeq[String](2) == Seq("a", "b", "c"))
+  }
+
   test("empty input yields empty output") {
     val df = fixture(10).filter(col("v") > 100)
     assert(Pack.groupedPrefixSum(df, "grp", "ord", "v").count() == 0)
