@@ -33,6 +33,8 @@ object PackJobMain {
     val lakeBase = args(1)
     val budget = if (args.length > 2) args(2).toLong else 2048L
     val chunkSeqs = if (args.length > 3) args(3).toLong else 1024L
+    require(budget > 0 && chunkSeqs > 0,
+      s"budget=$budget and chunkSeqs=$chunkSeqs must be positive")
 
     val builder = SparkSession.builder()
       .appName("graft-pack-sequences")
@@ -44,7 +46,7 @@ object PackJobMain {
 
     val docs = spark.read.parquet(rawDir)
       .select(col("doc_id"), col("source"), col("tokens"),
-        conv(substring(md5(col("doc_id")), 1, 15), 16, 10).cast("long").as("_ord"))
+        Pack.md5Rank60(col("doc_id")).as("_ord"))
     val packed = Pack.packSequences(docs, "source", "_ord", "tokens", budget,
         tieCol = Some("doc_id"))
       .withColumn("pk",

@@ -45,6 +45,14 @@ object Pack {
     case x => x
   }
 
+  /** Deterministic 60-bit rank from the md5 hex prefix — the shared shuffle/
+    * mixing order key. Every Spark site must stay bit-identical to its
+    * DuckDB twin `('0x' || substr(md5(x), 1, 15))::BIGINT`; keep the idiom
+    * in ONE place so the prefix length and cast cannot drift per call site.
+    */
+  def md5Rank60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Adds `outCol` = exclusive prefix sum of `valueCol` (LONG, non-null)
     * over rows of the same `groupCol`, ordered by `orderCol` (LONG,
     * non-null, unique per group for a deterministic layout). Two-phase
@@ -198,9 +206,14 @@ object Pack {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // working names (_pk_ntok/seq_id/_s0/_s1/_part) may collide with input
-    // columns: withColumn replaces them and the fixed output projection
-    // drops every input extra, so no guard is needed beyond
-    // groupedPrefixSum's own (_pk_bucket / ex_cum)
+    // PASSENGER columns: withColumn replaces them and the fixed output
+    // projection drops every input extra. A ROLE column (group/order/toks/
+    // tie) named like a working column WOULD be clobbered mid-pipeline —
+    // reject that; groupedPrefixSum guards _pk_bucket/ex_cum itself.
+    val working = Set("_pk_ntok", "seq_id", "_s0", "_s1", "_part")
+    val roles = Seq(groupCol, orderCol, toksCol) ++ tieCol
+    require(roles.forall(!working.contains(_)),
+      s"group/order/toks/tie columns may not use reserved working names $working")
     val sliced = groupedPrefixSum(
         docs.withColumn("_pk_ntok", size(col(toksCol)).cast("long")),
         groupCol, orderCol, "_pk_ntok",

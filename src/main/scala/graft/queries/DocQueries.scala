@@ -398,8 +398,7 @@ object DocQueries {
     val d = documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("rnk"))
+        graft.ops.Pack.md5Rank60(col("doc_id").cast("string")).as("rnk"))
     graft.ops.Pack.groupedPrefixSum(d, "source", "rnk", "n_tok",
         tieCol = Some("doc_id"))
       .filter(col("ex_cum") < budget)
@@ -642,8 +641,7 @@ object DocQueries {
   def trainShuffle(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
       .select(col("doc_id"), col("source"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("rnk"))
+        graft.ops.Pack.md5Rank60(col("doc_id").cast("string")).as("rnk"))
       .withColumn("_g", lit(1)).withColumn("_one", lit(1L))
     graft.ops.Pack.groupedPrefixSum(d, "_g", "rnk", "_one",
         outCol = "pos", tieCol = Some("doc_id"))
@@ -710,14 +708,17 @@ object DocQueries {
     * frame; df comes from a broadcast-sized distinct-source census.
     */
   def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir)
+    val tf = documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
-    val tf = toks.groupBy(col("source"), col("token"))
+      .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("source"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df and nSources both derive from the ALREADY-AGGREGATED tf frame (one
+    // row per (source, token)) — no second corpus scan / explode / distinct
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ns = tf.select(countDistinct(col("source")).cast("double").as("ns"))
     val scored = tf.join(broadcast(df), "token")
-      .withColumn("score", round(col("tf") * lit(20.0) / col("df"), 4))
+      .crossJoin(broadcast(ns))
+      .withColumn("score", round(col("tf") * col("ns") / col("df"), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("score").desc, col("token"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -731,13 +732,12 @@ object DocQueries {
     """WITH t AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
       |tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY 1, 2),
-      |df AS (
-      |  SELECT token, count(*)::BIGINT AS df
-      |  FROM (SELECT DISTINCT source, token FROM t) GROUP BY 1),
+      |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |ns AS (SELECT count(DISTINCT source)::DOUBLE AS ns FROM tf),
       |sc AS (
       |  SELECT tf.source, tf.token, tf.tf, df.df,
-      |    round(tf.tf * 20.0 / df.df, 4) AS score
-      |  FROM tf JOIN df USING (token)),
+      |    round(tf.tf * ns.ns / df.df, 4) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN ns),
       |r AS (
       |  SELECT source, token, tf, df, score,
       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rk

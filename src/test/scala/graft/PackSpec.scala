@@ -173,8 +173,7 @@ class PackSpec extends AnyFunSuite {
     val docs = (0 until 300).map { i =>
       (f"doc-$i%06d", s"src${i % 4}", (0 until (i % 9 + 1)).map(j => i * 100 + j))
     }.toDF("doc_id", "source", "tokens")
-      .withColumn("_ord",
-        conv(substring(md5(col("doc_id")), 1, 15), 16, 10).cast("long"))
+      .withColumn("_ord", Pack.md5Rank60(col("doc_id")))
     val packed = Pack.packSequences(docs, "source", "_ord", "tokens", 32L,
         tieCol = Some("doc_id"))
       .withColumn("pk", concat(col("source"), lit("_"), expr("seq_id div 4")))
