@@ -15,14 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ in double precision (deterministic sequential fold order). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢbᵢ in double precision (deterministic sequential fold order) —
+    * the codegen'd graft_dot expression (expressions.VectorExprs.DotF).
+    * Resolution needs the function registered on the session; every
+    * DataFrame-taking entry point below (and the q51 query) calls
+    * [[graft.expressions.VectorExprs.ensure]] first.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The interpreted higher-order-function form of [[dot]] — kept as the
+    * executable semantics REFERENCE: VectorExprsSpec pins the native
+    * expression bit-for-bit against this fold (same IEEE add order, same
+    * null/length behavior), which is what licenses the swap under the
+    * rounded-cosine oracles (q22/q51/q56).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -32,10 +43,22 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextDouble() - 0.5)
   }
 
-  /** LSH bucket id: sign bit per hyperplane, packed into a long. */
+  /** LSH bucket id: sign bit per hyperplane, packed into a long — the
+    * codegen'd graft_sign_sig expression (one fused nBits × dim loop;
+    * expressions.VectorExprs.SignSig). Same session-registration contract
+    * as [[dot]].
+    */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    call_function("graft_sign_sig", emb,
+      typedlit(planes.map(_.toSeq).toSeq))
+
+  /** Interpreted per-plane composition of [[lshBucket]] — the executable
+    * semantics reference for VectorExprsSpec's signature-parity pin (null
+    * vectors and dim mismatches collapse to bucket 0 in both forms).
+    */
+  def lshBucketHof(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb, typedlit(p.toSeq)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dotHof(emb, typedlit(p.toSeq)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** Exact brute-force top-k by cosine against one query vector (embedding of
@@ -44,6 +67,7 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
+    graft.expressions.VectorExprs.ensure(emb.sparkSession)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
     emb.crossJoin(broadcast(q))
       .select(col(idCol), round(cosine(col(vecCol), col("_q")), 5).as("cosine"))
@@ -57,6 +81,7 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    graft.expressions.VectorExprs.ensure(emb.sparkSession)
     val planes = hyperplanes(nBits, dim)
     val withBucket = emb.withColumn("_bucket", lshBucket(col(vecCol), planes))
     val q = withBucket.filter(col(idCol) === queryId)
@@ -77,6 +102,7 @@ object Similarity {
     */
   private def signBandCandidates(emb: DataFrame, idCol: String, vecCol: String,
       nBits: Int, bands: Int, maxBucket: Int, dim: Int): DataFrame = {
+    graft.expressions.VectorExprs.ensure(emb.sparkSession)
     require(nBits % bands == 0 && nBits <= 63, s"bands=$bands must divide nBits=$nBits (< 64)")
     val bits = nBits / bands
     val mask = (1L << bits) - 1
@@ -243,6 +269,7 @@ object Similarity {
     */
   def ivfRefine(emb: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]]): Array[Array[Double]] = {
+    graft.expressions.VectorExprs.ensure(emb.sparkSession)
     val assigned = emb.select(col(idCol),
       ivfAssignUdf(cents)(col(vecCol)).as("_cid"), col(vecCol).as("_v"),
       norm(col(vecCol)).as("_n"))
@@ -331,6 +358,7 @@ object Similarity {
   def lshTopKMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nBits: Int = 8, dim: Int = 64,
       probeHamming: Int = 1): DataFrame = {
+    graft.expressions.VectorExprs.ensure(emb.sparkSession)
     require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0, 2]")
     val planes = hyperplanes(nBits, dim)
     val withBucket = emb.withColumn("_bucket", lshBucket(col(vecCol), planes))

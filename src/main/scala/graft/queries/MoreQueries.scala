@@ -289,6 +289,7 @@ object MoreQueries {
     * DuckDB-oracle-able; the production-scale LSH form is q52.
     */
   private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorExprs.ensure(s)
     val e = DocQueries.embeddings(s, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("_ea"),
       explode(sequence(lit(1L), lit(8L))).as("_off"))
