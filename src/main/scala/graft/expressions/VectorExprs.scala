@@ -266,7 +266,7 @@ object VectorExprs {
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    entries.foreach { case (id, info, builder) =>
+    (entries ++ SketchExprs.entries).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }
@@ -279,5 +279,5 @@ object VectorExprs {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    VectorExprs.entries.foreach(ext.injectFunction)
+    (VectorExprs.entries ++ SketchExprs.entries).foreach(ext.injectFunction)
 }

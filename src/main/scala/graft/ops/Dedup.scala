@@ -43,11 +43,27 @@ object Dedup {
     * sig[j] = min over shingles of (a_j * h + b_j).
     *
     * The shingle hashing itself (split/slice/xxhash64) is codegen'd Catalyst;
-    * this inner numPerm×|shingles| min-loop is a plain JVM UDF because
-    * Catalyst higher-order functions (transform/aggregate) are interpreted —
-    * measured ~40× slower than this loop at 64 perms × ~800 shingles.
+    * the inner numPerm×|shingles| min-loop is the native codegen'd
+    * [[graft.expressions.SketchExprs.MinHashSig]] expression (round 4 — it
+    * replaced the round-2 JVM UDF kept below as [[minhashSignatureUdf]]:
+    * same loop, but the UDF paid a boxed Seq[Long] conversion per row that
+    * the expression's in-place ArrayData reads eliminate; interpreted
+    * Catalyst HOFs remain ~40× slower than either).
     */
   def minhashSignatureFromHashes(sh: Column, numPerm: Int = 64): Column = {
+    val (as, bs) = permConstants(numPerm)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SketchExprs.MinHashSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(sh),
+        as.toSeq, bs.toSeq))
+  }
+
+  /** The original UDF form of [[minhashSignatureFromHashes]] — kept as the
+    * executable semantics REFERENCE: SketchExprsSpec pins the native
+    * expression bit-for-bit against this loop, which is what licenses the
+    * swap under the q27/q28 oracles.
+    */
+  def minhashSignatureUdf(sh: Column, numPerm: Int = 64): Column = {
     val (as, bs) = permConstants(numPerm)
     val sigUdf = udf { (hashes: Seq[Long]) =>
       val sig = Array.fill(numPerm)(Long.MaxValue)
@@ -178,9 +194,19 @@ object Dedup {
     * ±1 votes from each token hash's bit i (Charikar, STOC'02).
     */
   def simhash64(text: Column): Column = {
-    // token hashing stays codegen'd Catalyst; the 64-bit vote loop is a JVM
-    // UDF (64 interpreted HOF aggregates would be ~40× slower)
+    // token hashing stays codegen'd Catalyst; the 64-bit vote loop is the
+    // native SketchExprs.SimHashVotes expression (round 4 — replaced the
+    // JVM UDF kept below, which paid a boxed Seq[Long] conversion per row)
     val hashes = transform(split(text, " "), w => xxhash64(w))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SketchExprs.SimHashVotes(
+        org.apache.spark.sql.GraftColumnBridge.expression(hashes)))
+  }
+
+  /** The original UDF vote loop — the executable semantics reference
+    * SketchExprsSpec pins [[simhash64]]'s native expression against.
+    */
+  def simhashVotesUdf(hashes: Column): Column = {
     val voteUdf = udf { (hs: Seq[Long]) =>
       val votes = new Array[Int](64)
       hs.foreach { h =>
