@@ -100,11 +100,21 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16): DataFrame = {
     val rowsPerBand = numPerm / bands
+    // band indices are exploded BEFORE the per-band key is computed, so the
+    // signature sits in a projection BELOW the Generate and is provably
+    // evaluated once per document: building the 16-struct band array from the
+    // sig expression inline put 16 textual copies of the 64-perm min-loop in
+    // one Project (an explicit alias doesn't help — CollapseProject treats
+    // the expression as inlineable), leaving dedup to codegen CSE. A
+    // Project/Generate boundary can't be collapsed. Band keys are unchanged:
+    // xxhash64 over the band's signature slice, as [[bandKeys]] computes.
     df.select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("_sh"))
-      .select(col("doc"),
-        bandKeys(minhashSignatureFromHashes(col("_sh"), numPerm), bands, rowsPerBand).as("bk"))
-      .select(col("doc"), explode(col("bk")).as("b"))
-      .groupBy(col("b.band"), col("b.key"))
+      .select(col("doc"), minhashSignatureFromHashes(col("_sh"), numPerm).as("_sig"))
+      .select(col("doc"), col("_sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc"), col("band"),
+        xxhash64(slice(col("_sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("key"))
+      .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc"))).as("docs"))
       .withColumn("bucket_size", size(col("docs")))
   }
@@ -152,16 +162,21 @@ object Dedup {
       size(array_union(shA, shB)).cast("double")
 
   /** MinHash LSH dedup end-to-end: candidates verified with exact shingle
-    * Jaccard >= threshold. Joins back to texts (two broadcast-able joins at
-    * small scale; sort-merge on doc id at large scale).
+    * Jaccard >= threshold. The verify step joins the candidate pairs back to
+    * the raw texts and shingles AFTER the join — only candidate documents
+    * are ever re-shingled, instead of shingling the whole corpus twice to
+    * feed the joins (at 100 TB the corpus-side shingle arrays would also
+    * have been the join's shuffle payload; texts of matched candidates are
+    * the only rows that pay).
     *
-    * The skew guard is audited, not silent: oversize buckets are counted in
-    * one dedicated action and logged before pair generation proceeds on the
-    * surviving buckets. The audit pass recomputes the bucket frame rather
-    * than caching it — a persisted frame with no safe unpersist point would
-    * leak executor storage for the rest of the session (callers who want to
-    * pay memory instead of a second pass can persist/unpersist around
-    * [[minhashBuckets]] + [[candidatesFromBuckets]] themselves).
+    * The skew guard is audited, not silent: the dropped-bucket census rides
+    * the main query as a CollectMetrics observation ([[Dataset.observe]])
+    * and is logged by a once-per-session listener when the consuming action
+    * completes — zero extra passes. The round-3 form ran a dedicated census
+    * action first, which recomputed the full signature pipeline (~1/3 of the
+    * operator's wall); a pre-action census is still available directly via
+    * [[minhashBuckets]] + [[droppedBuckets]] for callers that must refuse to
+    * proceed on skew rather than observe it.
     */
   def minhashDedup(
       df: DataFrame,
@@ -170,25 +185,61 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 64,
       auditDropped: Boolean = true): DataFrame = {
-    val buckets = minhashBuckets(df, idCol, textCol)
-    if (auditDropped) {
-      val census = droppedBuckets(buckets, maxBucket)
-        .agg(count(lit(1)), coalesce(sum(col("bucket_size")), lit(0L))).head()
-      val (nDropped, docsDropped) = (census.getLong(0), census.getLong(1))
-      if (nDropped > 0)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"minhash LSH skew guard dropped $nDropped buckets > $maxBucket docs " +
-            s"(${docsDropped} doc slots) — dup-dense buckets excluded from pair generation")
-    }
+    val buckets0 = minhashBuckets(df, idCol, textCol)
+    val buckets =
+      if (!auditDropped) buckets0
+      else {
+        ensureSkewAuditLogger(df.sparkSession, maxBucket)
+        buckets0.observe(
+          s"graft_minhash_skew_${auditSeq.incrementAndGet()}",
+          sum(when(col("bucket_size") > maxBucket, 1L).otherwise(0L))
+            .as("dropped_buckets"),
+          sum(when(col("bucket_size") > maxBucket, col("bucket_size").cast("long"))
+            .otherwise(0L)).as("dropped_doc_slots"))
+      }
     val cands = candidatesFromBuckets(buckets, maxBucket)
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+    val docs = df.select(col(idCol).as("_vid"), col(textCol).as("_vtxt"))
     cands
-      .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(docs.select(col("_vid").as("doc_a"), col("_vtxt").as("_txt_a")), "doc_a")
+      .join(docs.select(col("_vid").as("doc_b"), col("_vtxt").as("_txt_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        shingles(col("_txt_a")).as("sh_a"), shingles(col("_txt_b")).as("sh_b"))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("jaccard"))
   }
+
+  private val auditSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val auditRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** One listener per session that logs any `graft_minhash_skew_*`
+    * observation with dropped buckets — the post-action form of the skew
+    * audit (the census itself is computed inside the main job by the
+    * CollectMetrics node minhashDedup attaches).
+    */
+  private def ensureSkewAuditLogger(spark: org.apache.spark.sql.SparkSession,
+      maxBucket: Int): Unit =
+    if (auditRegistered.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_minhash_skew_")) {
+              def l(field: String): Long =
+                Option(row.getAs[java.lang.Long](field)).map(_.longValue).getOrElse(0L)
+              val (nDropped, slots) = (l("dropped_buckets"), l("dropped_doc_slots"))
+              if (nDropped > 0)
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"minhash LSH skew guard dropped $nDropped oversize buckets " +
+                    s"($slots doc slots) — dup-dense buckets excluded from pair generation")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+    }
 
   /** 64-bit SimHash over whitespace tokens: bit i is the sign of the sum of
     * ±1 votes from each token hash's bit i (Charikar, STOC'02).
