@@ -188,15 +188,7 @@ object Dedup {
     val buckets0 = minhashBuckets(df, idCol, textCol)
     val buckets =
       if (!auditDropped) buckets0
-      else {
-        ensureSkewAuditLogger(df.sparkSession, maxBucket)
-        buckets0.observe(
-          s"graft_minhash_skew_${auditSeq.incrementAndGet()}",
-          sum(when(col("bucket_size") > maxBucket, 1L).otherwise(0L))
-            .as("dropped_buckets"),
-          sum(when(col("bucket_size") > maxBucket, col("bucket_size").cast("long"))
-            .otherwise(0L)).as("dropped_doc_slots"))
-      }
+      else SkewAudit.observed(buckets0, "minhash", col("bucket_size"), maxBucket)
     val cands = candidatesFromBuckets(buckets, maxBucket)
     val docs = df.select(col(idCol).as("_vid"), col(textCol).as("_vtxt"))
     cands
@@ -208,38 +200,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("jaccard"))
   }
-
-  private val auditSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val auditRegistered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
-
-  /** One listener per session that logs any `graft_minhash_skew_*`
-    * observation with dropped buckets — the post-action form of the skew
-    * audit (the census itself is computed inside the main job by the
-    * CollectMetrics node minhashDedup attaches).
-    */
-  private def ensureSkewAuditLogger(spark: org.apache.spark.sql.SparkSession,
-      maxBucket: Int): Unit =
-    if (auditRegistered.add(spark)) {
-      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_minhash_skew_")) {
-              def l(field: String): Long =
-                Option(row.getAs[java.lang.Long](field)).map(_.longValue).getOrElse(0L)
-              val (nDropped, slots) = (l("dropped_buckets"), l("dropped_doc_slots"))
-              if (nDropped > 0)
-                org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"minhash LSH skew guard dropped $nDropped oversize buckets " +
-                    s"($slots doc slots) — dup-dense buckets excluded from pair generation")
-            }
-          }
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
-      })
-    }
 
   /** 64-bit SimHash over whitespace tokens: bit i is the sign of the sum of
     * ±1 votes from each token hash's bit i (Charikar, STOC'02).

@@ -109,19 +109,16 @@ object Similarity {
     val planes = hyperplanes(nBits, dim)
     val sigs = emb.select(col(idCol).as("doc"),
       lshBucket(col(vecCol), planes).as("_sig"))
-    val banded = sigs
+    val banded0 = sigs
       .select(col("doc"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("_sig"), b * bits).bitwiseAND(mask).as("key"))): _*)).as("b"))
       .groupBy(col("b.band"), col("b.key"))
       .agg(sort_array(collect_set(col("doc"))).as("docs"))
-    val dropped = banded
-      .filter(size(col("docs")) > maxBucket)
-      .agg(count(lit(1)), coalesce(sum(size(col("docs"))), lit(0L))).head()
-    if (dropped.getLong(0) > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"sign-LSH skew guard dropped ${dropped.getLong(0)} buckets > $maxBucket docs " +
-          s"(${dropped.getLong(1)} doc slots) — raise nBits (wider band keys) or maxBucket")
+    // census rides the main query as a CollectMetrics observation (logged on
+    // action completion) — the round-3 eager census was its own action that
+    // re-ran the signature+groupBy pipeline; see SkewAudit
+    val banded = SkewAudit.observed(banded0, "sign_lsh", size(col("docs")), maxBucket)
     val cands = banded
       .filter(size(col("docs")).between(2, maxBucket))
       .select(explode(flatten(transform(col("docs"),
@@ -163,9 +160,9 @@ object Similarity {
     * the pair is found with probability 1 as long as its buckets survive the
     * skew guard. The defaults are sized for that: 8-bit band keys (nBits 32 /
     * 4 bands) spread N vectors over 256 buckets per band, so buckets reach
-    * maxBucket=1024 only around N ≈ 256k — and the guard WARNS before it
-    * cuts (signBandCandidates audit), so an under-provisioned index is
-    * visible, never a silent recall hole. Verification is exact array
+    * maxBucket=1024 only around N ≈ 256k — and the guard WARNS whenever it
+    * cuts (the SkewAudit observation logged with every consuming action), so
+    * an under-provisioned index is visible, never a silent recall hole. Verification is exact array
     * equality, so the output is deterministic and a DuckDB brute-force
     * equality join is an exact oracle — the graded cosine-threshold mode
     * stays [[cosineNearDupPairs]] (probabilistic recall, ScalaTest-verified).

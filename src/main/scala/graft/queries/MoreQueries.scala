@@ -167,7 +167,13 @@ object MoreQueries {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = DocQueries.documents(s, dir)
+    // repartition BEFORE branching: both join inputs derive from the same
+    // exchange subtree, so ReuseExchange shingles the corpus once (two plain
+    // projection branches re-ran the full shingle pass per side); the `a`
+    // side's partitioning (hash(doc_id) = hash(doc_a)) already satisfies the
+    // join, so only the shifted `b` side re-shuffles
     val sh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .repartition(col("doc_id"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, "doc_a")
