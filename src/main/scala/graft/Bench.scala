@@ -216,12 +216,21 @@ object Bench {
     val probe = obs.drop("value")
     val build = obs.filter(pmod(col("seq"), lit(997L)) === 0)
       .withColumnRenamed("value", "asof_v")
-    val t0 = System.nanoTime()
     // ts domain is known (BaseTs + day): caller-supplied bounds skip the
     // blocking stats reduce — one less fixed job in the timed region
-    val joined = graft.tiers.AsOfJoin.asof(probe, build, Seq("source"), "ts", "ts",
-      Seq("asof_v"), numChunks = 64, rightSeq = Some("seq"),
-      tsBounds = Some((TokenFixture.BaseTs, TokenFixture.BaseTs + 86399L)))
+    val tsBounds = Some((TokenFixture.BaseTs, TokenFixture.BaseTs + 86399L))
+    def run(p: DataFrame, b: DataFrame) =
+      graft.tiers.AsOfJoin.asof(p, b, Seq("source"), "ts", "ts",
+        Seq("asof_v"), numChunks = 64, rightSeq = Some("seq"), tsBounds = tsBounds)
+    // EXACT-CODE warmup on a ~1/499 slice with the SAME numChunks/tsBounds:
+    // whole-stage codegen embeds the chunk-width literals, so the generic
+    // small-fixture warmup (numChunks=8, other bounds) left the real shot
+    // paying serial codegen compilation inside the timed region — a fixed
+    // cost the hi level feels 4× harder than the lo level
+    run(probe.filter(pmod(col("seq"), lit(499L)) === 0), build)
+      .agg(count(col("asof_v"))).head()
+    val t0 = System.nanoTime()
+    val joined = run(probe, build)
     // aggregate over the JOINED VALUE, not count(*): a bare count lets
     // Catalyst prune the unused window columns and skip the join entirely
     // (measured: 4.6 s "joins" of 120M rows at local[2])
@@ -234,7 +243,7 @@ object Bench {
   }
 
   /** Metricalize kind-replay scaling datapoint (round-3): 8 series (source
-    * keys) over a 1/8 sample of obs, TWO specs on the same metric name with
+    * keys) over a 1/4 sample of obs, TWO specs on the same metric name with
     * different kinds — every event flips the series kind, the worst case for
     * the replay. The chunked formulation must scale 2→8 despite series
     * cardinality 8 (the round-2 version was a per-series window — a
@@ -243,13 +252,14 @@ object Bench {
   private def mzBench(spark: SparkSession, sharedObs: DataFrame): (Long, Double) = {
     import org.apache.spark.sql.functions._
     import graft.functions.Metricalize
-    // 1/8 sample: sized so the high level of the ops pair stays well past
-    // the per-stage fixed floors while min-of-2 at the low level fits.
-    // Derived from the ops child's shared persisted obs (a cached-frame
-    // filter+project, not a fresh source scan) — populate cost only, the
-    // timed region is identical work to previous runs
+    // 1/4 sample (round 4 — was 1/8): the single-pass metricalize rewrite
+    // runs ~2.2× faster, which would have pushed the hi-level wall back into
+    // the per-stage fixed floors at 1/8; doubling the input restores the
+    // floor clearance at roughly the old round cost. Derived from the ops
+    // child's shared persisted obs (a cached-frame filter+project, not a
+    // fresh source scan) — populate cost only.
     val obs = sharedObs
-      .filter(pmod(col("seq"), lit(8L)) === 0)
+      .filter(pmod(col("seq"), lit(4L)) === 0)
       .select(col("source"), col("value"), col("seq")).persist()
     // untimed cache populate + seq bounds for the caller-bounds escape (the
     // timed region then contains no blocking stats reduce at all)
@@ -261,9 +271,16 @@ object Bench {
         tagPaths = Map("src" -> "col:source")),
       Metricalize.MetricSpec("toks", "gauge", "col:value",
         tagPaths = Map("src" -> "col:source")))
+    def run(in: DataFrame) =
+      Metricalize.metricalize(in, "source", specs, col("seq"), numChunks = 64,
+        ordBounds = seqBounds)
+    // EXACT-CODE warmup (same rationale as asofBench): same specs, chunk
+    // count and ord bounds on a thin slice, so the chunk-width literals —
+    // and therefore the generated stage code — match the real shot's
+    run(obs.filter(pmod(col("seq"), lit(499L)) === 0))
+      .agg(sum(col("mismatches"))).head()
     val t0 = System.nanoTime()
-    val out = Metricalize.metricalize(obs, "source", specs, col("seq"), numChunks = 64,
-      ordBounds = seqBounds)
+    val out = run(obs)
     val r = out.agg(sum(col("mismatches")), count(lit(1))).head()
     val secs = (System.nanoTime() - t0) / 1e9
     require(r.getLong(1) == 8 && r.getLong(0) > 0,
@@ -291,6 +308,10 @@ object Bench {
     // lines' gap between this child's asof and asof_bcast phases.
     val joined = graft.tiers.AsOfJoin.asofBroadcast(probe, build, Seq("source"),
       "ts", "ts", Seq("asof_v"), rightSeq = Some("seq"))
+    // EXACT-CODE warmup: the probe-map stage over a thin slice of the same
+    // joined frame, so its codegen is compiled before the timer starts
+    joined.filter(pmod(col("seq"), lit(499L)) === 0)
+      .agg(count(col("asof_v"))).head()
     val t0 = System.nanoTime()
     val r = joined.agg(count(col("asof_v")), count(lit(1))).head()
     val (matched, out) = (r.getLong(0), r.getLong(1))
@@ -436,22 +457,11 @@ object Bench {
       if (doCascade)
         TierCascade.run(s, warmObs, warmBase, seriesBuckets = 8, salts = 4,
           withHistograms = true, withPages = true)
-      if (doOps) {
-        import org.apache.spark.sql.functions.{col, count}
-        graft.tiers.AsOfJoin.asof(warmObs.drop("value"),
-          warmObs.withColumnRenamed("value", "asof_v"), Seq("series"), "ts", "ts",
-          Seq("asof_v"), numChunks = 8, rightSeq = Some("seq"))
-          .agg(count(col("asof_v"))).head()
-        graft.tiers.AsOfJoin.asofBroadcast(warmObs.drop("value"),
-          warmObs.withColumnRenamed("value", "asof_v"), Seq("series"), "ts", "ts",
-          Seq("asof_v"), rightSeq = Some("seq"))
-          .agg(count(col("asof_v"))).head()
-        graft.functions.Metricalize.metricalize(
-          warmObs.select(col("series").as("source"), col("value"), col("seq")), "source",
-          Seq(graft.functions.Metricalize.MetricSpec("w", "counter", "col:value"),
-            graft.functions.Metricalize.MetricSpec("w", "gauge", "col:value")),
-          col("seq"), numChunks = 8).agg(count(col("name"))).head()
-      }
+      // no generic ops warmup: each ops bench function runs an EXACT-CODE
+      // warmup on a thin slice of its real input (same chunk counts and
+      // bounds, so the codegen'd stage source matches) — a small-fixture
+      // warmup with different literals missed the codegen cache and left
+      // the first timed shot paying serial compilation
       deleteRec(new java.io.File(warmBase))
 
       var res = LevelResult(0L, -1.0, -1.0, -1.0, -1.0, -1.0)

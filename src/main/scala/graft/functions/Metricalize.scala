@@ -33,9 +33,14 @@ import org.apache.spark.sql.functions._
   * ordered windows partition by (name, tags-key, ord-chunk), so parallelism is
   * series × chunks even when one hot metric family dominates — a window
   * partitioned by the series alone would make one task sort the whole family
-  * (the round-2 straggler shape). The price is one extra hash shuffle of the
-  * data (chunked window partitioning + the final series groupBy) plus two
-  * windows over a tiny series×chunks frame.
+  * (the round-2 straggler shape). SINGLE-PASS (round 4): the data is
+  * shuffled once, sorted once, and aggregated in place on the window's own
+  * partition keys; the chunk stats ride the replay window as full-frame
+  * window columns, and per-kind trailing-run partials let the cross-chunk
+  * survivor cut resolve on the tiny series×chunks frame — the round-3 shape
+  * re-ran the extraction 2-3× and broadcast-joined the boundary back, and
+  * its per-stage serial floors were what capped the bench datapoint's 2→8
+  * scaling.
   *
   * Histogram buckets are PER SPEC: internally observations are counted
   * against the union ladder of all specs (one codegen'd sum per rung), and
@@ -191,87 +196,105 @@ object Metricalize {
       greatest(lit(0L), least(lit((hi - lo) / chunkW),
         floor((col("ord") - lo) / chunkW).cast("long"))))
 
-    // (a) within-chunk transitions: the only data-sized ordered window, and it
-    // partitions by (series, chunk) — parallelism series × chunks
+    // (a) the ONLY data-sized pass (round-4 single-pass rewrite; the round-3
+    // shape made 2-3 passes over the extraction plus a broadcast join, and
+    // the per-stage serial floors were what capped the bench datapoint's
+    // 2→8 scaling): ONE shuffle hash-partitioned by (series, chunk), ONE
+    // sort, and one Window node that carries BOTH the lag (within-chunk
+    // transitions) and the full-frame chunk stats (first/last kind, per-kind
+    // boundary candidates) — then an IN-PLACE hash aggregation grouped on
+    // the window's own partition keys, so EnsureRequirements inserts no
+    // second data exchange. The chunk aggregates include, per statically-
+    // known kind k, the chunk's TRAILING-RUN partials w.r.t. k (rows after
+    // the chunk's last non-k row): the cross-chunk boundary always lands on
+    // some chunk's trailing run, so the global survivor cut resolves later
+    // on the tiny frame with no second pass over the data.
     val wc = Window.partitionBy(col("name"), col("skey"), col("_chunk")).orderBy(col("ord"))
+    val wcFull = wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val marked = chunked
       .withColumn("_prev_kind", lag(col("kind"), 1).over(wc))
       .withColumn("_mismatch",
         when(col("_prev_kind").isNotNull && col("kind") =!= col("_prev_kind"), 1L)
           .otherwise(0L))
+      .withColumn("_first_kind", first(col("kind")).over(wcFull))
+      .withColumn("_last_kind_c", last(col("kind")).over(wcFull))
+      .withColumns(kinds.indices.map(k =>
+        s"_bnot_$k" -> max(when(col("kind") =!= k, col("ord"))).over(wcFull)).toMap)
 
-    // (b) per-(series, chunk) summary — hash agg, no sort: first/last kind in
-    // ord order plus, for each statically-known kind id k, the max ord among
-    // rows whose kind differs from k (the per-chunk boundary candidate)
-    val perChunkAggs =
-      Seq(min_by(col("kind"), col("ord")).as("_first_kind"),
-        max_by(col("kind"), col("ord")).as("_last_kind_c")) ++
-        kinds.indices.map(k => max(when(col("kind") =!= k, col("ord"))).as(s"_bnot_$k"))
-    val perChunk = chunked
-      .groupBy(col("name"), col("skey"), col("_chunk"))
-      .agg(perChunkAggs.head, perChunkAggs.tail: _*)
-
-    // (c) per-series reduction over the TINY series×chunks frame: global last
-    // kind, cross-chunk transitions (prev non-empty chunk's last kind vs this
-    // chunk's first kind), and the global boundary = max ord with
-    // kind != last kind (selected from the per-kind candidates)
-    val seriesLast = perChunk
-      .groupBy(col("name"), col("skey"))
-      .agg(max_by(col("_last_kind_c"), col("_chunk")).as("_last_kind"))
-    val wSeries = Window.partitionBy(col("name"), col("skey")).orderBy(col("_chunk"))
-    val bnotForLast = kinds.indices.foldLeft(lit(null).cast("long")) { (acc, k) =>
-      when(col("_last_kind") === k, col(s"_bnot_$k")).otherwise(acc)
-    }
-    val seriesFrame = perChunk
-      .join(seriesLast, Seq("name", "skey"))
-      .withColumn("_prev_last", lag(col("_last_kind_c"), 1).over(wSeries))
-      .groupBy(col("name"), col("skey"))
-      .agg(
-        first(col("_last_kind")).as("_last_kind"),
-        sum(when(col("_prev_last").isNotNull && col("_prev_last") =!= col("_first_kind"), 1L)
-          .otherwise(0L)).as("_cross_mm"),
-        max(bnotForLast).as("_boundary"))
-
-    // (d) join the per-series (last kind, boundary, cross-transitions) back
-    // and aggregate IN TWO PHASES: per-(series, chunk) partials first —
-    // grouped on the SAME keys the replay window already partitioned by, so
-    // the broadcast-joined frame needs NO new exchange (EnsureRequirements
-    // sees the clustering satisfied) — then the final reduction over the
-    // tiny series×chunks frame. A direct groupBy(name, skey) here was the
-    // plan's second full-data shuffle; this shape has exactly ONE data-sized
-    // exchange end to end. Every buffer stays a mutable primitive →
-    // HashAggregate; the tags map rebuilds from the group key itself.
-    val survOrd = when(surviving, col("ord"))
+    val histK = kinds.indexOf("histogram")
+    // rows in this chunk's trailing run w.r.t. kind k: everything after the
+    // chunk's last non-k row (the whole chunk when no non-k row exists)
+    def tailOf(k: Int): Column = col(s"_bnot_$k").isNull || col("ord") > col(s"_bnot_$k")
     val chunkAggs: Seq[Column] = Seq(
-      first(col("_last_kind")).as("_last_kind"),
-      first(col("_cross_mm")).as("_cross_mm"),
+      first(col("_first_kind")).as("_first_kind"),
+      first(col("_last_kind_c")).as("_last_kind_c"),
       sum(col("_mismatch")).as("_mm"),
       max(col("ord")).as("_c_max_ord"),
       max_by(col("sidx"), col("ord")).as("_c_sidx"),
-      sum(when(surviving, col("v"))).as("_c_sum"),
-      count(when(surviving, lit(1))).as("_c_cnt"),
-      // chunks with no survivor leave _c_last_ord null; the final max_by
-      // skips null ordering keys, so they can never win
-      max_by(when(surviving, col("v")), survOrd).as("_c_last"),
-      max(survOrd).as("_c_last_ord")) ++
-      ladder.zipWithIndex.map { case (b, i) =>
-        sum(when(surviving && col("v") <= b, 1L).otherwise(0L)).as(s"_c_hb_$i")
+      sum(col("v")).as("_full_sum"),
+      count(lit(1)).as("_full_cnt"),
+      // the chunk's last row by ord — the global gauge survivor is always
+      // the max-ord chunk's last row (it sits after any boundary)
+      max_by(col("v"), col("ord")).as("_full_last")) ++
+      kinds.indices.map(k => first(col(s"_bnot_$k")).as(s"_bnot_$k")) ++
+      kinds.indices.flatMap(k => Seq(
+        sum(when(tailOf(k), col("v"))).as(s"_tail_sum_$k"),
+        sum(when(tailOf(k), 1L).otherwise(0L)).as(s"_tail_cnt_$k"))) ++
+      ladder.zipWithIndex.flatMap { case (b, i) =>
+        sum(when(col("v") <= b, 1L).otherwise(0L)).as(s"_full_hb_$i") +:
+          (if (histK >= 0)
+            Seq(sum(when(tailOf(histK) && col("v") <= b, 1L).otherwise(0L)).as(s"_tail_hb_$i"))
+          else Nil)
       }
-    val perChunkFinal = marked
-      .join(seriesFrame, Seq("name", "skey"))
+    val perChunk = marked
       .groupBy(col("name"), col("skey"), col("_chunk"))
       .agg(chunkAggs.head, chunkAggs.tail: _*)
-    perChunkFinal
+
+    // (b) TINY series×chunks frame: global last kind, cross-chunk
+    // transitions, the global boundary (max ord with kind != last kind,
+    // selected from the per-kind candidates) and ITS chunk — as window
+    // columns, so the survivor cut per chunk is decidable row-locally:
+    // chunks past the boundary chunk contribute their full partials, the
+    // boundary chunk contributes its trailing-run partials w.r.t. the global
+    // last kind (the boundary IS that chunk's last non-last-kind row), and
+    // earlier chunks contribute nothing. Chunk ranges partition the ord
+    // space into intervals (the clamp keeps the first/last chunks
+    // half-open), so the chunk order IS the ord order.
+    val wSeries = Window.partitionBy(col("name"), col("skey")).orderBy(col("_chunk"))
+    val wSeriesFull = wSeries.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def forLast(of: Int => Column): Column =
+      kinds.indices.foldLeft(lit(null).cast("long")) { (acc, k) =>
+        when(col("_last_kind") === k, of(k)).otherwise(acc)
+      }
+    val bnotForLast = forLast(k => col(s"_bnot_$k"))
+    val annotated = perChunk
+      .withColumn("_last_kind", last(col("_last_kind_c")).over(wSeriesFull))
+      .withColumn("_prev_last", lag(col("_last_kind_c"), 1).over(wSeries))
+      .withColumn("_boundary", max(bnotForLast).over(wSeriesFull))
+      .withColumn("_cb", max_by(col("_chunk"), bnotForLast).over(wSeriesFull))
+    val fullyAfter = col("_boundary").isNull || col("_chunk") > col("_cb")
+    val atBoundary = col("_boundary").isNotNull && col("_chunk") === col("_cb")
+    def contrib(full: Column, tail: Column): Column =
+      when(fullyAfter, full).when(atBoundary, tail)
+    val cSum = contrib(col("_full_sum"),
+      forLast(k => col(s"_tail_sum_$k")).cast("double"))
+    val cCnt = coalesce(contrib(col("_full_cnt"), forLast(k => col(s"_tail_cnt_$k"))), lit(0L))
+    annotated
       .groupBy(col("name"), col("skey"))
       .agg(
         first(col("_last_kind")).as("_kind"),
-        (sum(col("_mm")) + first(col("_cross_mm"))).as("mismatches"),
+        (sum(col("_mm")) +
+          sum(when(col("_prev_last").isNotNull && col("_prev_last") =!= col("_first_kind"), 1L)
+            .otherwise(0L))).as("mismatches"),
         max_by(col("_c_sidx"), col("_c_max_ord")).as("_fidx"),
-        sum(col("_c_sum")).as("_sum"),
-        sum(col("_c_cnt")).as("m_count"),
-        max_by(col("_c_last"), col("_c_last_ord")).as("_last"),
+        sum(cSum).as("_sum"),
+        sum(cCnt).as("m_count"),
+        max_by(col("_full_last"), col("_c_max_ord")).as("_last"),
         (if (ladder.isEmpty) array().cast("array<bigint>")
-         else array(ladder.indices.map(i => sum(col(s"_c_hb_$i"))): _*)).as("_hb"))
+         else array(ladder.indices.map(i =>
+           coalesce(sum(contrib(col(s"_full_hb_$i"),
+             if (histK >= 0) col(s"_tail_hb_$i") else lit(null).cast("long"))), lit(0L))): _*))
+          .as("_hb"))
       .select(
         col("name"),
         map_from_entries(col("skey")).as("tags"),
@@ -283,9 +306,6 @@ object Metricalize {
           .otherwise(array().cast("array<bigint>")).as("m_buckets"),
         col("mismatches"))
   }
-
-  private def surviving: Column =
-    col("_boundary").isNull || col("ord") > col("_boundary")
 
   /** Streaming metricalize: the reference flushes its state map on a
     * processing-time tick (metricalize.rs:161-190); here the flush is an
