@@ -71,9 +71,29 @@ object Metricalize {
   def unionLadder(specs: Seq[MetricSpec]): Seq[Double] =
     specs.flatMap(_.buckets).distinct.sorted
 
-  private def extract(propsCol: String, path: String): Column =
-    if (path.startsWith("col:")) col(path.stripPrefix("col:")).cast("string")
-    else get_json_object(col(propsCol), path)
+  /** Shared JSON extraction below the spec fanout: every DISTINCT JSON path
+    * across the specs is parsed ONCE per input row in a projection UNDER the
+    * explode Generate, and the spec structs reference the aliases. Passing
+    * `get_json_object` inline per spec re-parsed the props string once per
+    * (spec, path) occurrence — five specs reading `$.k` parsed the same JSON
+    * five times per event (measured: over half of q39's wall). A Generate
+    * boundary cannot be collapsed, so the single parse is structural, not an
+    * optimizer courtesy. `col:` paths stay direct attribute references.
+    */
+  private def withSharedExtracts(df: DataFrame, propsCol: String,
+      specs: Seq[MetricSpec]): (DataFrame, String => Column) = {
+    val jsonPaths = specs.flatMap(sp => sp.valuePath +: sp.tagPaths.values.toSeq)
+      .filterNot(_.startsWith("col:")).distinct
+    val alias = jsonPaths.zipWithIndex.map { case (p, i) => p -> s"_graft_jx$i" }.toMap
+    val base =
+      if (jsonPaths.isEmpty) df
+      else df.select(col("*") +: jsonPaths.map(p =>
+        get_json_object(col(propsCol), p).as(alias(p))): _*)
+    (base,
+      p =>
+        if (p.startsWith("col:")) col(p.stripPrefix("col:")).cast("string")
+        else col(alias(p)))
+  }
 
   /** Per-spec extraction structs off ONE scan: name, tags, kind id, v,
     * packed ord, spec index. Kinds travel as INTEGER ids (index into the
@@ -83,13 +103,14 @@ object Metricalize {
     * The packed ord (event ord × #specs + spec position) replays one event's
     * specs in config order; packing is guarded against Long overflow (the
     * tier layer guards its packed ranges the same way, TierRollup.fromObs).
+    * `extract` resolves a spec path to a column ([[withSharedExtracts]]).
     */
-  private def specStructs(propsCol: String, specs: Seq[MetricSpec], ordCol: Column,
+  private def specStructs(extract: String => Column, specs: Seq[MetricSpec], ordCol: Column,
       kinds: Seq[String]): Seq[Column] = {
     val maxOrd = Long.MaxValue / specs.length
     val ordL = ordCol.cast("long")
     specs.zipWithIndex.map { case (sp, i) =>
-      val raw = extract(propsCol, sp.valuePath)
+      val raw = extract(sp.valuePath)
       val v =
         if (sp.kind == "counter" && !sp.incrementByValue)
           when(raw.isNotNull, lit(1.0)).otherwise(lit(null).cast("double"))
@@ -98,7 +119,7 @@ object Metricalize {
         if (sp.tagPaths.isEmpty) map().cast("map<string,string>")
         else map_filter(
           map(sp.tagPaths.toSeq.sortBy(_._1).flatMap { case (k, p) =>
-            Seq(lit(k), extract(propsCol, p))
+            Seq(lit(k), extract(p))
           }: _*),
           (_, tv) => tv.isNotNull)
       val packed = when(ordL >= 0L && ordL < maxOrd, ordL * specs.length + i)
@@ -163,8 +184,9 @@ object Metricalize {
     val ladder = unionLadder(specs)
     val kinds = specs.map(_.kind).distinct.sorted
 
-    val perSpec = df
-      .select(explode(array(specStructs(propsCol, specs, ordCol, kinds): _*)).as("_m"))
+    val (base, ext) = withSharedExtracts(df, propsCol, specs)
+    val perSpec = base
+      .select(explode(array(specStructs(ext, specs, ordCol, kinds): _*)).as("_m"))
       .select(col("_m.name").as("name"), col("_m.tags").as("tags"),
         col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"),
         col("_m.sidx").as("sidx"))
@@ -329,10 +351,11 @@ object Metricalize {
     require(specs.nonEmpty, "at least one MetricSpec")
     val ladder = unionLadder(specs)
     val kinds = specs.map(_.kind).distinct.sorted
-    df
+    val (base, ext) = withSharedExtracts(df, propsCol, specs)
+    base
       .withColumn("_ts", col(tsCol))
       .withWatermark("_ts", watermark)
-      .select(col("_ts"), explode(array(specStructs(propsCol, specs, ordCol, kinds): _*)).as("_m"))
+      .select(col("_ts"), explode(array(specStructs(ext, specs, ordCol, kinds): _*)).as("_m"))
       .select(col("_ts"), col("_m.name").as("name"), col("_m.tags").as("tags"),
         col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"),
         col("_m.sidx").as("sidx"))
@@ -366,12 +389,13 @@ object Metricalize {
     * a per-spec union would re-scan the source once per spec.
     */
   def extractionFailures(df: DataFrame, propsCol: String, specs: Seq[MetricSpec]): DataFrame = {
+    val (base, ext) = withSharedExtracts(df, propsCol, specs)
     val structs = specs.map { sp =>
-      val raw = extract(propsCol, sp.valuePath)
+      val raw = ext(sp.valuePath)
       val v = if (sp.kind == "counter" && !sp.incrementByValue) raw else raw.cast("double")
       struct(lit(sp.name).as("name"), when(v.isNull, 1L).otherwise(0L).as("f"))
     }
-    df.select(explode(array(structs: _*)).as("_m"))
+    base.select(explode(array(structs: _*)).as("_m"))
       .groupBy(col("_m.name").as("name"))
       .agg(sum(col("_m.f")).as("failures"))
   }
