@@ -138,6 +138,69 @@ class MetricalizeSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: 3 kinds × 2 series × missing values vs sequential replay") {
+    // pins the round-4 single-pass formulation (trailing-run partials +
+    // tiny-frame survivor cut) against a direct Scala replay of the
+    // reference state machine, across seeds and chunk counts
+    val buckets = Seq(10.0, 20.0, 30.0)
+    val specs = Seq(
+      MetricSpec("m", "counter", "$.c", tagPaths = Map("t" -> "col:typ")),
+      MetricSpec("m", "gauge", "$.g", tagPaths = Map("t" -> "col:typ")),
+      MetricSpec("m", "histogram", "$.h", tagPaths = Map("t" -> "col:typ"),
+        buckets = buckets))
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 80).map { i =>
+        val typ = if (rnd.nextBoolean()) "a" else "b"
+        val c = if (rnd.nextInt(10) < 6) Some(rnd.nextInt(40) + 1) else None
+        val g = if (rnd.nextInt(10) < 6) Some(rnd.nextInt(40) + 1) else None
+        val h = if (rnd.nextInt(10) < 6) Some(rnd.nextInt(40) + 1) else None
+        val props = (c.map(v => s""""c": $v""") ++ g.map(v => s""""g": $v""") ++
+          h.map(v => s""""h": $v""")).mkString("{", ", ", "}")
+        (i.toLong, typ, props, c, g, h)
+      }
+      // sequential replay: per series, spec rows in (event, spec-position)
+      // order; reset + count on kind change (metricalize.rs:233-248)
+      case class St(kind: String, vs: Vector[Double], mm: Long, lastSpec: Int)
+      val st = scala.collection.mutable.Map.empty[String, St]
+      events.foreach { case (_, typ, _, c, g, h) =>
+        Seq(("counter", c, 0), ("gauge", g, 1), ("histogram", h, 2)).foreach {
+          case (kind, vOpt, sidx) =>
+            vOpt.foreach { v =>
+              val cur = st.getOrElse(typ, St(kind, Vector.empty, 0L, sidx))
+              val next =
+                if (cur.vs.nonEmpty && cur.kind != kind)
+                  St(kind, Vector(v.toDouble), cur.mm + 1, sidx)
+                else St(kind, cur.vs :+ v.toDouble, cur.mm, sidx)
+              st(typ) = next
+            }
+        }
+      }
+      val expected = st.map { case (typ, s) =>
+        val mSum = if (s.kind == "gauge") s.vs.last else s.vs.sum
+        val hb =
+          if (s.kind == "histogram") buckets.map(b => s.vs.count(_ <= b).toLong)
+          else Seq.empty[Long]
+        (typ, (s.kind, mSum, s.vs.size.toLong, hb, s.mm))
+      }.toMap
+      val df = events.map(e => (e._1, e._2, e._3)).toDF("id", "typ", "props")
+      for (nc <- Seq(1, 2, 5, 64)) {
+        val got = Metricalize.metricalize(df, "props", specs, col("id"), numChunks = nc)
+          .select(element_at(col("tags"), "t").as("typ"), col("kind"), col("m_sum"),
+            col("m_count"), col("m_buckets"), col("mismatches"))
+          .as[(String, String, Double, Long, Seq[Long], Long)]
+          .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5.toSeq, r._6))).toMap
+        assert(got.keySet == expected.keySet, s"seed=$seed nc=$nc series mismatch")
+        expected.foreach { case (typ, (k, sSum, cnt, hb, mm)) =>
+          val (gk, gs, gc, ghb, gmm) = got(typ)
+          assert(gk == k && math.abs(gs - sSum) < 1e-9 && gc == cnt &&
+            ghb == hb && gmm == mm,
+            s"seed=$seed nc=$nc typ=$typ: got ${got(typ)}, want ($k,$sSum,$cnt,$hb,$mm)")
+        }
+      }
+    }
+  }
+
   test("two histogram specs keep their own bucket ladders (no union-ladder leak)") {
     val df = Seq((1L, """{"x": 5, "y": 15}"""), (2L, """{"x": 40, "y": 25}"""))
       .toDF("id", "props")
