@@ -308,10 +308,14 @@ object Bench {
     // lines' gap between this child's asof and asof_bcast phases.
     val joined = graft.tiers.AsOfJoin.asofBroadcast(probe, build, Seq("source"),
       "ts", "ts", Seq("asof_v"), rightSeq = Some("seq"))
-    // EXACT-CODE warmup: the probe-map stage over a thin slice of the same
-    // joined frame, so its codegen is compiled before the timer starts
-    joined.filter(pmod(col("seq"), lit(499L)) === 0)
-      .agg(count(col("asof_v"))).head()
+    // EXACT-CODE warmup = the timed query itself, run once untimed: this
+    // plan is ONE whole-stage-codegen stage (cached scan → probe map →
+    // agg), so any slicing filter or different aggregate list changes the
+    // generated source and misses the codegen cache — unlike the shuffle
+    // datapoints there is no heavy post-shuffle stage that a sliced warmup
+    // would still cover. The extra full pass is cheap here (the broadcast
+    // probe map is the fastest datapoint) and the index is already built.
+    joined.agg(count(col("asof_v")), count(lit(1))).head()
     val t0 = System.nanoTime()
     val r = joined.agg(count(col("asof_v")), count(lit(1))).head()
     val (matched, out) = (r.getLong(0), r.getLong(1))
@@ -694,7 +698,7 @@ object Bench {
       val m = med(opsRounds.map(r => ratioOf((r._1.mz, r._2.mz))))
       a < 0.8 || m < 0.8
     }
-    // 1.05 margin (not the cascade's rerun-aware 1.1): an ops round has no
+    // 1.05 margin (vs the cascade's rerun-discounted 1.02): an ops round has no
     // conditional rerun, so its cost is near-deterministic, and a small
     // overrun only sheds tail queries — the graded datapoint is worth more
     def divertToOps: Boolean = cascAllHealthy && opsAtRisk &&

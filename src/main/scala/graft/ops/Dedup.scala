@@ -86,8 +86,14 @@ object Dedup {
     */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("key"))): _*)
+      struct(lit(b).as("band"), bandKey(sig, lit(b), rowsPerBand).as("key"))): _*)
+
+  /** One band's key: xxhash64 over the band's signature slice — the single
+    * definition both [[bandKeys]] and [[minhashBuckets]] hash with, so the
+    * API form and the production bucket path cannot drift.
+    */
+  def bandKey(sig: Column, band: Column, rowsPerBand: Int): Column =
+    xxhash64(slice(sig, band * rowsPerBand + 1, lit(rowsPerBand)))
 
   /** LSH band-bucket frame: one row per (band, key) with the sorted member
     * docs and the bucket size. Shared by the pair generator and the skew
@@ -113,7 +119,7 @@ object Dedup {
       .select(col("doc"), col("_sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc"), col("band"),
-        xxhash64(slice(col("_sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("key"))
+        bandKey(col("_sig"), col("band"), rowsPerBand).as("key"))
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc"))).as("docs"))
       .withColumn("bucket_size", size(col("docs")))

@@ -13,16 +13,24 @@ import org.apache.spark.sql.functions._
   *
   * NO SILENT CAPS still holds: every consuming action of an audited frame
   * logs the census. What changes is WHEN — after the action instead of
-  * before pair generation. Callers that must refuse to proceed on skew
-  * (rather than observe it) can still run an eager census directly, e.g.
+  * before pair generation. Delivery caveats (the price of zero extra
+  * passes): the listener rides Spark's async listener bus, so a driver that
+  * exits without `SparkSession.stop()` can drop the queued log line, and a
+  * FAILED action logs only what its completed stages observed. Callers that
+  * must refuse to proceed on skew — or need the census even on abandoned
+  * runs — use the eager form directly, e.g.
   * `Dedup.droppedBuckets(Dedup.minhashBuckets(...), maxBucket)`.
   */
 object SkewAudit {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // weak keys: a stopped session must not be pinned forever by the audit
+  // registry (a long-lived JVM cycling sessions — test suites, notebooks —
+  // would otherwise accumulate stopped-session object graphs)
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Attach the oversize-bucket census to `buckets`: rows where
     * `sizeCol > maxBucket` are counted (and their sizes summed) into an
@@ -45,8 +53,7 @@ object SkewAudit {
   private def ensureLogger(spark: SparkSession): Unit =
     if (registered.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        private def logCensus(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith("graft_skew_")) {
               def l(field: String): Long =
@@ -58,8 +65,15 @@ object SkewAudit {
                     s"($slots doc slots) — dup-dense buckets excluded from pair generation")
             }
           }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          logCensus(qe)
+        // a FAILED action may still have accumulated the census (the bucket
+        // stage can complete and cut before a downstream stage dies) — log
+        // whatever was observed rather than dropping the trail
         override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          logCensus(qe)
       })
     }
 }

@@ -1,11 +1,12 @@
-package graft
+package graft.tools
 import graft.sources.TokenFixture
 import org.apache.spark.sql.SparkSession
 
 /** Dev probe: the metricalize bench shape's physical plan with AQE OFF (the
-  * scaling children's configuration) — looking for a SortMergeJoin keyed on
-  * the 8-value series key where the code expects a broadcast, and for any
-  * data-sized exchange beyond the chunked-window shuffle.
+  * scaling children's configuration) — asserts by eyeball the single-pass
+  * shape: ONE data-sized Exchange (the chunked replay window), the chunk
+  * aggregation in place on the window's partition keys (no second data
+  * exchange), no join, and only tiny-frame exchanges after.
   */
 object MzPlanProbe {
   def main(args: Array[String]): Unit = {
