@@ -255,14 +255,16 @@ object Bench {
     // 1/4 sample (round 4 — was 1/8): the single-pass metricalize rewrite
     // runs ~2.2× faster, which would have pushed the hi-level wall back into
     // the per-stage fixed floors at 1/8; doubling the input restores the
-    // floor clearance at roughly the old round cost. Derived from the ops
-    // child's shared persisted obs (a cached-frame filter+project, not a
-    // fresh source scan) — populate cost only.
+    // floor clearance at roughly the old round cost. NO second persist: the
+    // single-pass operator scans its input exactly once, so the 1/4 filter
+    // rides the ops child's shared obs cache inline — a narrow cached scan
+    // that scales with threads, unlike the round-3 three-pass shape whose
+    // re-reads made a dedicated materialization worth its populate cost.
     val obs = sharedObs
       .filter(pmod(col("seq"), lit(4L)) === 0)
-      .select(col("source"), col("value"), col("seq")).persist()
-    // untimed cache populate + seq bounds for the caller-bounds escape (the
-    // timed region then contains no blocking stats reduce at all)
+      .select(col("source"), col("value"), col("seq"))
+    // untimed seq-bounds reduce for the caller-bounds escape (the timed
+    // region then contains no blocking stats reduce at all)
     val b = obs.agg(count(lit(1)), min(col("seq")), max(col("seq"))).head()
     val n = b.getLong(0)
     val seqBounds = Some((b.getLong(1), b.getLong(2)))
@@ -285,7 +287,6 @@ object Bench {
     val secs = (System.nanoTime() - t0) / 1e9
     require(r.getLong(1) == 8 && r.getLong(0) > 0,
       s"metricalize must produce 8 conflicted series: ${r.getLong(1)} series, ${r.getLong(0)} mismatches")
-    obs.unpersist(blocking = false)
     (n, secs)
   }
 
