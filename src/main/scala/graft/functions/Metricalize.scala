@@ -84,7 +84,14 @@ object Metricalize {
       specs: Seq[MetricSpec]): (DataFrame, String => Column) = {
     val jsonPaths = specs.flatMap(sp => sp.valuePath +: sp.tagPaths.values.toSeq)
       .filterNot(_.startsWith("col:")).distinct
-    val alias = jsonPaths.zipWithIndex.map { case (p, i) => p -> s"_graft_jx$i" }.toMap
+    // helper-column prefix checked against the input schema: a user frame
+    // that already carries a `_graft_jx*` column must not collide with (or
+    // be shadowed by) the appended extraction aliases
+    val prefix = Iterator.from(0).map {
+      case 0 => "_graft_jx"
+      case n => s"_graft_jx$n$n"
+    }.find(p => !df.columns.exists(_.startsWith(p))).get
+    val alias = jsonPaths.zipWithIndex.map { case (p, i) => p -> s"$prefix$i" }.toMap
     val base =
       if (jsonPaths.isEmpty) df
       else df.select(col("*") +: jsonPaths.map(p =>

@@ -247,4 +247,20 @@ object RemoteWrite {
     }
     censusUdf(request)
   }
+
+  /** Decode-roundtrip proof as ONE boolean UDF: decodes `request` once and
+    * compares the census against the expected counts inside the same call.
+    * Prefer this over comparing [[decodedCensus]]'s struct fields column-by-
+    * column — extracting two fields of a UDF-produced struct lets the
+    * optimizer duplicate the UDF into each projection branch, decoding (and
+    * snappy-uncompressing) every batch twice.
+    */
+  def decodeMatches(request: Column, nSeries: Column, nSamples: Column): Column = {
+    val okUdf = udf { (bytes: Array[Byte], series: Long, samples: Long) =>
+      val req = decode(uncompress(bytes))
+      req.timeseries.size.toLong == series &&
+        req.timeseries.map(_.samples.size).sum.toLong == samples
+    }
+    okUdf(request, nSeries.cast("long"), nSamples.cast("long"))
+  }
 }

@@ -175,14 +175,19 @@ object Dedup {
     * have been the join's shuffle payload; texts of matched candidates are
     * the only rows that pay).
     *
-    * The skew guard is audited, not silent: the dropped-bucket census rides
-    * the main query as a CollectMetrics observation ([[Dataset.observe]])
-    * and is logged by a once-per-session listener when the consuming action
-    * completes — zero extra passes. The round-3 form ran a dedicated census
-    * action first, which recomputed the full signature pipeline (~1/3 of the
-    * operator's wall); a pre-action census is still available directly via
-    * [[minhashBuckets]] + [[droppedBuckets]] for callers that must refuse to
-    * proceed on skew rather than observe it.
+    * The skew guard is audited, not silent. `audit` is tri-state:
+    *  - `"observed"` (default): the dropped-bucket census rides the main
+    *    query as a CollectMetrics observation ([[Dataset.observe]]) and is
+    *    logged by a once-per-session listener when the consuming action
+    *    completes — ZERO extra passes, but best-effort delivery (async
+    *    listener bus; a driver that exits without `SparkSession.stop()` can
+    *    drop the line, and a failed action logs partial counts);
+    *  - `"eager"`: a GUARANTEED pre-action census — one dedicated action
+    *    over the bucket frame BEFORE pair generation (the round-3 shape,
+    *    ~1/3 of the operator's wall at 100 TB scale), logged synchronously;
+    *    callers that must refuse-on-skew can equivalently run
+    *    [[minhashBuckets]] + [[droppedBuckets]] themselves and branch;
+    *  - `"off"`: no census.
     */
   def minhashDedup(
       df: DataFrame,
@@ -190,11 +195,24 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.7,
       maxBucket: Int = 64,
-      auditDropped: Boolean = true): DataFrame = {
+      audit: String = "observed"): DataFrame = {
     val buckets0 = minhashBuckets(df, idCol, textCol)
-    val buckets =
-      if (!auditDropped) buckets0
-      else SkewAudit.observed(buckets0, "minhash", col("bucket_size"), maxBucket)
+    val buckets = audit match {
+      case "off" => buckets0
+      case "eager" =>
+        val census = droppedBuckets(buckets0, maxBucket)
+          .agg(count(lit(1)), sum(col("bucket_size"))).head()
+        if (census.getLong(0) > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"minhash eager audit: skew guard will drop ${census.getLong(0)} " +
+              s"buckets > $maxBucket docs (${census.getLong(1)} doc slots)")
+        buckets0
+      case "observed" =>
+        SkewAudit.observed(buckets0, "minhash", col("bucket_size"), maxBucket)
+      case other =>
+        throw new IllegalArgumentException(
+          s"audit must be off|observed|eager, got '$other'")
+    }
     val cands = candidatesFromBuckets(buckets, maxBucket)
     val docs = df.select(col(idCol).as("_vid"), col(textCol).as("_vtxt"))
     cands

@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Σ aᵢbᵢ in double precision (deterministic sequential fold order) —
-    * the codegen'd graft_dot expression (expressions.VectorExprs.DotF).
-    * Resolution needs the function registered on the session; every
-    * DataFrame-taking entry point below (and the q51 query) calls
-    * [[graft.expressions.VectorExprs.ensure]] first.
+    * the codegen'd graft_dot expression (expressions.VectorExprs.DotF),
+    * constructed directly (no session function-registry lookup), so the
+    * Column works on ANY session — same contract as Dedup.simhash64.
+    * graft_dot also registers as a SQL-surface function via
+    * [[graft.expressions.VectorExprs.ensure]] / GraftExtensions.
     */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.VectorExprs.DotF(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** The interpreted higher-order-function form of [[dot]] — kept as the
     * executable semantics REFERENCE: VectorExprsSpec pins the native
@@ -45,12 +50,14 @@ object Similarity {
 
   /** LSH bucket id: sign bit per hyperplane, packed into a long — the
     * codegen'd graft_sign_sig expression (one fused nBits × dim loop;
-    * expressions.VectorExprs.SignSig). Same session-registration contract
-    * as [[dot]].
+    * expressions.VectorExprs.SignSig), constructed directly so it resolves
+    * on any session (same contract as [[dot]]).
     */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
-    call_function("graft_sign_sig", emb,
-      typedlit(planes.map(_.toSeq).toSeq))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.VectorExprs.SignSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(emb),
+        planes.map(_.toSeq).toSeq))
 
   /** Interpreted per-plane composition of [[lshBucket]] — the executable
     * semantics reference for VectorExprsSpec's signature-parity pin (null

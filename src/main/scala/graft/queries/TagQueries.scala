@@ -161,12 +161,14 @@ object TagQueries {
       (tsUs / 1000).cast("long").as("ts_ms"),
       lit("gauge").as("kind"))
     RemoteWrite.encodeBatches(samples, maxEvents = 1000)
-      .withColumn("c", RemoteWrite.decodedCensus(col("request")))
       .select(col("tenant"), col("batch_id"),
         col("n_series").cast("long").as("n_series"),
         col("n_samples").cast("long").as("n_samples"),
-        (col("c._1") === col("n_series") && col("c._2") === col("n_samples"))
-          .as("decode_ok"))
+        // single-UDF boolean: one decode per batch, structurally — the
+        // struct-field form let the optimizer duplicate the census UDF into
+        // both comparison branches (q40 measured 2.7× r3 in BENCH_r04)
+        RemoteWrite.decodeMatches(col("request"), col("n_series"),
+          col("n_samples")).as("decode_ok"))
       .orderBy(col("tenant"), col("batch_id"))
   }
 
