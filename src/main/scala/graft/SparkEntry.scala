@@ -122,7 +122,10 @@ object SparkEntry {
     "q72_epoch_resample" -> (DocQueries.epochResample _),
     "q73_train_shuffle" -> (DocQueries.trainShuffle _),
     "q74_dup_spans" -> (DocQueries.dupSpans _),
-    "q75_tfidf_topk" -> (DocQueries.tfidfTopK _)
+    "q75_tfidf_topk" -> (DocQueries.tfidfTopK _),
+    // —— round 5: non-exclusive route + multi-probe provable slice ——
+    "q76_route_multi" -> (EventQueries.routeMulti _),
+    "q77_ann_multiprobe_clones" -> (MoreQueries.annMultiProbeClones _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -497,6 +500,20 @@ object SparkEntry {
     "q73_train_shuffle" -> graft.queries.DocQueries.trainShuffleOracle,
     "q74_dup_spans" -> graft.queries.DocQueries.dupSpansOracle,
     "q75_tfidf_topk" -> graft.queries.DocQueries.tfidfTopKOracle,
+    "q76_route_multi" -> graft.queries.EventQueries.routeMultiOracle,
+    // q77: clones sit in the query's exact bucket, so every probe radius
+    // (0, 1, 2) must retrieve all of them; output pinned by exact embedding
+    // equality — the q62 pattern for the multi-probe path
+    "q77_ann_multiprobe_clones" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 10000000 + i AS vec_id, embedding
+        |  FROM embeddings CROSS JOIN range(1, 6) t(i) WHERE vec_id = 0),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT h.h AS probe_hamming, e.vec_id
+        |FROM e, q, range(0, 3) h(h) WHERE e.embedding = q.qe
+        |ORDER BY probe_hamming, vec_id""".stripMargin,
     "q33_asof_join" ->
       """SELECT l.event_id, l.event_type, r.value AS asof_v
         |FROM events l ASOF LEFT JOIN

@@ -342,8 +342,9 @@ object Metricalize {
     * and replayable. One row per (window, name, tags, kind): because each
     * window's state starts empty (the tick analog), a kind conflict within a
     * window yields one row PER KIND rather than the arrival-order reset —
-    * the documented divergence (batch [[metricalize]] replays the exact
-    * reset semantics when total order exists).
+    * a documented simplification this aggregation-only form keeps for its
+    * lower state cost; [[metricalizeStreamReplay]] is the stateful form
+    * that replays the exact batch reset semantics across micro-batches.
     *
     * `ordCol` breaks ties for gauge last-write-wins; append-mode compatible.
     */
@@ -388,6 +389,113 @@ object Metricalize {
         col("m_count"),
         when(col("kind") === kinds.indexOf("histogram"), perSpecBuckets(specs, ladder))
           .otherwise(array().cast("array<bigint>")).as("m_buckets"))
+  }
+
+  /** Typed carriers for [[metricalizeStreamReplay]] (object-level so the
+    * product encoders resolve).
+    */
+  case class MzTagKV(key: String, value: String)
+  case class MzReplayIn(ts: java.sql.Timestamp, bucket: Long, name: String,
+      skey: Seq[MzTagKV], kind: Int, v: Double, ord: Long, sidx: Int)
+  case class MzReplayKey(bucket: Long, name: String, skey: Seq[MzTagKV])
+  case class MzReplayState(kind: Int, sum: Double, cnt: Long, last: Double,
+      hb: Seq[Long], mm: Long, sidx: Int)
+  case class MzReplayOut(bucket: Long, name: String, tags: Map[String, String],
+      kind: String, m_sum: Double, m_count: Long, m_buckets: Seq[Long],
+      mismatches: Long)
+
+  /** Streaming metricalize with the BATCH arrival-order reset semantics —
+    * the flatMapGroupsWithState form of [[metricalize]]'s kind-replay
+    * (closes the one semantic divergence [[metricalizeStream]] documents):
+    * per (window, name, tags) series the state carries (kind, partials);
+    * a kind flip INSIDE the window increments `mismatches` and resets the
+    * partials, so the emitted row covers exactly the trailing same-kind run
+    * — bit-identical to the batch replay of the same rows. State crosses
+    * micro-batches; each window's state starts empty (the reference's
+    * processing-time tick analog, metricalize.rs:161-190) and is emitted
+    * once, when the event-time timeout fires at window close.
+    *
+    * Replay order is (micro-batch arrival, ord within the batch) — the
+    * stream analog of the reference's arrival order. A source that delivers
+    * ord-monotone batches (any replayed log) reproduces the batch result
+    * exactly; cross-batch ord inversions replay in arrival order, like the
+    * reference itself would.
+    */
+  def metricalizeStreamReplay(
+      df: DataFrame,
+      propsCol: String,
+      specs: Seq[MetricSpec],
+      tsCol: String,
+      bucketSec: Long,
+      ordCol: Column,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(specs.nonEmpty, "at least one MetricSpec")
+    val ladder = unionLadder(specs)
+    val kinds = specs.map(_.kind).distinct.sorted
+    val histK = kinds.indexOf("histogram")
+    // final spec's rung positions in the union ladder, resolved statically
+    val specRungs: Seq[Seq[Int]] = specs.map(sp =>
+      if (sp.kind == "histogram") sp.buckets.sorted.map(ladder.indexOf) else Nil)
+    val nLadder = ladder.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+    val (base, ext) = withSharedExtracts(df, propsCol, specs)
+    val prepared = base
+      .withColumn("_ts", col(tsCol))
+      .withWatermark("_ts", watermark)
+      .select(col("_ts"),
+        explode(array(specStructs(ext, specs, ordCol, kinds): _*)).as("_m"))
+      .select(
+        col("_ts").as("ts"),
+        (floor(unix_timestamp(col("_ts")) / bucketSec) * bucketSec)
+          .cast("long").as("bucket"),
+        col("_m.name").as("name"),
+        array_sort(map_entries(col("_m.tags"))).as("skey"),
+        col("_m.kind").as("kind"), col("_m.v").as("v"),
+        col("_m.ord").as("ord"), col("_m.sidx").as("sidx"))
+      .filter(col("v").isNotNull)
+      .as[MzReplayIn]
+
+    prepared
+      .groupByKey(e => MzReplayKey(e.bucket, e.name, e.skey))
+      .flatMapGroupsWithState[MzReplayState, MzReplayOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val kindName = kinds(s.kind)
+            val buckets: Seq[Long] =
+              if (histK >= 0 && s.kind == histK) specRungs(s.sidx).map(s.hb)
+              else Nil
+            Iterator.single(MzReplayOut(key.bucket, key.name,
+              key.skey.map(kv => kv.key -> kv.value).toMap, kindName,
+              if (kindName == "gauge") s.last else s.sum, s.cnt, buckets, s.mm))
+          } else {
+            val evs = it.toArray.sortBy(_.ord)
+            val st = state.getOption.getOrElse(
+              MzReplayState(-1, 0.0, 0L, 0.0, Seq.fill(nLadder)(0L), 0L, -1))
+            var kind = st.kind; var sum = st.sum; var cnt = st.cnt
+            var last = st.last; var mm = st.mm; var sidx = st.sidx
+            val hb = st.hb.toArray
+            evs.foreach { e =>
+              if (kind >= 0 && e.kind != kind) { // the arrival-order reset
+                mm += 1; sum = 0.0; cnt = 0L; last = 0.0
+                java.util.Arrays.fill(hb, 0L)
+              }
+              kind = e.kind
+              sum += e.v; cnt += 1; last = e.v; sidx = e.sidx
+              var i = 0
+              while (i < nLadder) { if (e.v <= ladder(i)) hb(i) += 1; i += 1 }
+            }
+            state.update(MzReplayState(kind, sum, cnt, last,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(hb), mm, sidx))
+            state.setTimeoutTimestamp((key.bucket + bucketSec) * 1000)
+            Iterator.empty
+          }
+      }.toDF()
   }
 
   /** Per-spec count of rows whose value extraction failed (the

@@ -21,18 +21,19 @@ import org.apache.spark.sql.types.LongType
   *           the offsets), and hash-repartition on the bucket so each bucket
   *           lands wholly in one task;
   *  phase 1  per-(bucket, group) totals — a tiny aggregate (buckets ×
-  *           groups-touched rows) collected to the driver, turned into
-  *           exclusive carry-in offsets per group in bucket order, broadcast
-  *           back;
+  *           groups-touched rows) turned into exclusive carry-in offsets per
+  *           group in bucket order (a ≤-nBuckets-rows-per-group window);
+  *           delivered to phase 2 as a driver broadcast while the offsets
+  *           fit `driverCarryLimit`, as a distributed equi-join past it;
   *  phase 2  one streaming pass per partition (sortWithinPartitions +
   *           mapPartitions): running sum resets to the broadcast offset at
   *           each (bucket, group) boundary.
   *
   * Parallelism is the bucket count at every step and no task ever holds more
   * than its partition slice; the only driver materialization is the
-  * buckets×groups totals frame (documented `.collect()`, driver-safe by
-  * construction). Both jobs recompute the bucket as a pure function of the
-  * row, so they can never disagree about the layout.
+  * offsets frame, and only while it fits the documented `driverCarryLimit`
+  * bound. Both jobs recompute the bucket as a pure function of the row, so
+  * they can never disagree about the layout.
   */
 object Pack {
 
@@ -62,18 +63,27 @@ object Pack {
     * one tiny bounds job — same contract as AsOfJoin.tsBounds. When
     * `orderCol` may collide within a group (e.g. a truncated hash rank),
     * `tieCol` names a unique column that fixes the order among equals.
+    * `driverCarryLimit` bounds the DRIVER-side carry-in: the per-(bucket,
+    * group) offsets are collected + broadcast only while they fit this many
+    * rows (the fast path — one probe collect, zero extra big-frame
+    * shuffles); past it the carry-in is equi-joined in distributed form,
+    * so group cardinality is unbounded at the price of one extra shuffle of
+    * the input.
     */
   def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, outCol: String = "ex_cum", numParts: Int = 0,
       orderBounds: Option[(Long, Long)] = None,
-      tieCol: Option[String] = None): DataFrame = {
+      tieCol: Option[String] = None,
+      driverCarryLimit: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(df.schema.fieldIndex(valueCol)).dataType == LongType,
       s"$valueCol must be LONG (cast before calling)")
     require(df.schema(df.schema.fieldIndex(orderCol)).dataType == LongType,
       s"$orderCol must be LONG (cast before calling)")
-    require(!df.columns.contains("_pk_bucket") && !df.columns.contains(outCol),
-      s"input must not already carry _pk_bucket or $outCol")
+    require(driverCarryLimit > 0, "driverCarryLimit must be positive")
+    val reserved = Seq("_pk_bucket", "_pk_off", "_b", "_g", outCol)
+    require(!reserved.exists(df.columns.contains),
+      s"input must not already carry any of ${reserved.mkString("/")}")
     val parts =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -96,57 +106,103 @@ object Pack {
         floor((col(orderCol).cast("double") - lit(lo.toDouble)) / lit(span) * lit(nBuckets))
           .cast("long"))))
 
-    // phase 1: per-(bucket, group) totals — buckets × groups-touched rows,
-    // a driver-safe frame by construction (documented .collect())
-    val totals = df
+    // phase 1: per-(bucket, group) totals (buckets × groups-TOUCHED rows),
+    // then the exclusive per-group running total in bucket order = the
+    // carry-in offset. The window partitions by group with ≤ nBuckets rows
+    // per group — bounded per-task memory regardless of group cardinality,
+    // never a straggler wall.
+    val totalsDf = df
       .groupBy(bucketExpr.as("_b"), col(groupCol).as("_g"))
       .agg(sum(col(valueCol)).as("_t"))
-      .collect()
-      .map { r =>
-        require(!r.isNullAt(0) && !r.isNullAt(2),
-          s"$orderCol and $valueCol must be non-null (null ${
-            if (r.isNullAt(0)) orderCol else valueCol} encountered)")
-        (r.getLong(0), normKey(r.get(1)), r.getLong(2))
-      }
+    val offWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_b"))
+    val offsetsDf = totalsDf.select(col("_b"), col("_g"),
+      (sum(col("_t")).over(offWin) - col("_t")).as("_pk_off"))
 
-    // exclusive running total per group in bucket order = carry-in offset
-    val offsets = totals
-      .groupBy(_._2)
-      .flatMap { case (g, ts) =>
-        var run = 0L
-        ts.sortBy(_._1).iterator.map { case (b, _, t) =>
-          val o = ((b, g), run); run += t; o
-        }
-      }
-    val bc = spark.sparkContext.broadcast(offsets.toMap)
-
-    // phase 2: streaming pass, running sum reset at each (bucket, group)
-    // boundary to the broadcast carry-in
+    // DRIVER-BOUNDED delivery (round 5): the offsets land on the driver only
+    // while they fit `driverCarryLimit` rows. The probe collects limit+1
+    // rows; getting ≤ limit back proves it got ALL of them, so the fast
+    // broadcast-map path is exact. Past the limit (≳10⁶ (bucket, group)
+    // pairs — e.g. 10⁵ groups smeared over every bucket) the carry-in is
+    // joined in DISTRIBUTED form instead: one extra shuffle of the big frame
+    // keyed exactly like phase 2's repartition, zero driver materialization
+    // — the 100 TB shape for high-cardinality group columns.
+    val probe = offsetsDf.limit(driverCarryLimit + 1).collect()
     val sortCols = Seq(col("_pk_bucket"), col(groupCol), col(orderCol)) ++
       tieCol.map(col)
-    val parted = df.withColumn("_pk_bucket", bucketExpr)
-      .repartition(parts, col("_pk_bucket"))
-      .sortWithinPartitions(sortCols: _*)
-    val bi = parted.schema.fieldIndex("_pk_bucket")
-    val gi = parted.schema.fieldIndex(groupCol)
-    val vi = parted.schema.fieldIndex(valueCol)
-    val outSchema = parted.schema.add(outCol, LongType, nullable = false)
-    parted.mapPartitions { it =>
-      var curKey: (Long, Any) = null
-      var run = 0L
-      it.map { r =>
-        if (r.isNullAt(vi))
-          throw new IllegalArgumentException(s"null $valueCol in prefix-sum input")
-        val key = (r.getLong(bi), normKey(r.get(gi)))
-        if (curKey == null || key != curKey) {
-          curKey = key
-          run = bc.value.getOrElse(key, 0L)
-        }
-        val out = Row.fromSeq(r.toSeq :+ run)
-        run += r.getLong(vi)
-        out
+
+    if (probe.length <= driverCarryLimit) {
+      probe.foreach { r =>
+        require(!r.isNullAt(0),
+          s"$orderCol must be non-null in prefix-sum input")
+        require(!r.isNullAt(2),
+          s"$valueCol must be non-null in prefix-sum input")
       }
-    }(Encoders.row(outSchema)).drop("_pk_bucket")
+      val bc = spark.sparkContext.broadcast(
+        probe.map(r => ((r.getLong(0), normKey(r.get(1))), r.getLong(2))).toMap)
+
+      // phase 2: streaming pass, running sum reset at each (bucket, group)
+      // boundary to the broadcast carry-in
+      val parted = df.withColumn("_pk_bucket", bucketExpr)
+        .repartition(parts, col("_pk_bucket"))
+        .sortWithinPartitions(sortCols: _*)
+      val bi = parted.schema.fieldIndex("_pk_bucket")
+      val gi = parted.schema.fieldIndex(groupCol)
+      val vi = parted.schema.fieldIndex(valueCol)
+      val outSchema = parted.schema.add(outCol, LongType, nullable = false)
+      parted.mapPartitions { it =>
+        var curKey: (Long, Any) = null
+        var run = 0L
+        it.map { r =>
+          if (r.isNullAt(vi))
+            throw new IllegalArgumentException(s"null $valueCol in prefix-sum input")
+          val key = (r.getLong(bi), normKey(r.get(gi)))
+          if (curKey == null || key != curKey) {
+            curKey = key
+            run = bc.value.getOrElse(key, 0L)
+          }
+          val out = Row.fromSeq(r.toSeq :+ run)
+          run += r.getLong(vi)
+          out
+        }
+      }(Encoders.row(outSchema)).drop("_pk_bucket")
+    } else {
+      // distributed carry-in: equi-join the offsets onto the big frame on
+      // (bucket, group) — both jobs recompute the bucket as a pure function
+      // of the row, so the join key cannot disagree with the layout — then
+      // the same repartition + in-partition scan reads the offset from the
+      // row itself at each boundary
+      val parted = df.withColumn("_pk_bucket", bucketExpr)
+        .join(offsetsDf,
+          col("_pk_bucket") === col("_b") && col(groupCol) === col("_g"),
+          "left")
+        .drop("_b", "_g")
+        .repartition(parts, col("_pk_bucket"))
+        .sortWithinPartitions(sortCols: _*)
+      val bi = parted.schema.fieldIndex("_pk_bucket")
+      val gi = parted.schema.fieldIndex(groupCol)
+      val vi = parted.schema.fieldIndex(valueCol)
+      val oi = parted.schema.fieldIndex("_pk_off")
+      val outSchema = parted.schema.add(outCol, LongType, nullable = false)
+      parted.mapPartitions { it =>
+        var curKey: (Long, Any) = null
+        var run = 0L
+        it.map { r =>
+          if (r.isNullAt(vi))
+            throw new IllegalArgumentException(s"null $valueCol in prefix-sum input")
+          if (r.isNullAt(bi))
+            throw new IllegalArgumentException(s"null $orderCol in prefix-sum input")
+          val key = (r.getLong(bi), normKey(r.get(gi)))
+          if (curKey == null || key != curKey) {
+            curKey = key
+            run = if (r.isNullAt(oi)) 0L else r.getLong(oi)
+          }
+          val out = Row.fromSeq(r.toSeq :+ run)
+          run += r.getLong(vi)
+          out
+        }
+      }(Encoders.row(outSchema)).drop("_pk_bucket", "_pk_off")
+    }
   }
 
   /** Concat-and-chunk packing census: documents (one row each, `nTokCol`

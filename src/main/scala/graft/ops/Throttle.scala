@@ -61,12 +61,35 @@ object Throttle {
     val schema = parted.schema.add("admitted", BooleanType, nullable = false)
     val ki = keyCols.map(parted.schema.fieldIndex).toArray
     val ti = parted.schema.fieldIndex("_t")
+    val width = schema.length
+    val kn = ki.length
     val replayed = parted.mapPartitions { it =>
-      var curKey: Seq[Any] = null
+      // rows arrive key-sorted, so keys change once per run: the current key
+      // is held in a reused Array and compared IN PLACE — no per-row Seq
+      // alloc, copies only at run boundaries. Output rows are built through
+      // one fresh Array wrapped without copy (unsafeWrapArray) instead of
+      // the old toSeq + :+ + fromSeq triple copy: at 10⁹ events per shard
+      // the replay loop's garbage is what bounds throughput, not the math.
+      val curKey = new Array[Any](kn)
+      var haveKey = false
       var tat = Long.MinValue
+      def sameKey(r: Row): Boolean = {
+        var i = 0
+        while (i < kn) {
+          val v = r.get(ki(i))
+          val c = curKey(i)
+          if (if (c == null) v != null else !c.equals(v)) return false
+          i += 1
+        }
+        true
+      }
       it.map { r =>
-        val k = ki.map(r.get).toSeq
-        if (curKey == null || k != curKey) { curKey = k; tat = Long.MinValue }
+        if (!haveKey || !sameKey(r)) {
+          var i = 0
+          while (i < kn) { curKey(i) = r.get(ki(i)); i += 1 }
+          haveKey = true
+          tat = Long.MinValue
+        }
         val admitted =
           if (r.isNullAt(ti)) false
           else {
@@ -77,7 +100,11 @@ object Throttle {
             if (ok) tat = newTat
             ok
           }
-        Row.fromSeq(r.toSeq :+ admitted)
+        val out = new Array[Any](width)
+        var i = 0
+        while (i < width - 1) { out(i) = r.get(i); i += 1 }
+        out(width - 1) = admitted
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       }
     }(Encoders.row(schema))
     replayed.drop("_t", "_seq")

@@ -224,6 +224,44 @@ object EventQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("port"))
 
+  /** route, NON-exclusive (SURVEY §2.5; reference route.rs:83-91 checks
+    * every port's predicate independently — an event matching several ports
+    * is delivered to ALL of them, unlike [[route]]'s exclusive-CASE
+    * monitoring rollup). Runs through the actual Topology.Route component;
+    * per-port totals with deliberately OVERLAPPING predicates, so the
+    * multi-delivery semantics are what the oracle checks.
+    */
+  def routeMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Topology
+    val out = Topology.build(s, Seq(
+      Topology.SourceParquet("ev", s"$dir/events.parquet"),
+      Topology.Route("r", Seq("ev"), Seq(
+        "errors" -> "event_type = 'error'",
+        "high_value" -> "value > 100",
+        "even_users" -> "user_id % 2 = 0"))))
+    Seq("errors", "high_value", "even_users", "_unmatched").map { p =>
+      out(s"r.$p").agg(count(lit(1)).as("cnt"))
+        .select(lit(p).as("port"), col("cnt"))
+    }.reduce(_ unionByName _).orderBy(col("port"))
+  }
+
+  /** q76 oracle: each port is an independent filter (events may count in
+    * several); _unmatched = no port predicate holds (null-safe, like the
+    * reference's falsy default).
+    */
+  val routeMultiOracle: String =
+    """SELECT 'errors' AS port, count(*) AS cnt FROM events WHERE event_type = 'error'
+      |UNION ALL
+      |SELECT 'high_value' AS port, count(*) AS cnt FROM events WHERE value > 100
+      |UNION ALL
+      |SELECT 'even_users' AS port, count(*) AS cnt FROM events WHERE user_id % 2 = 0
+      |UNION ALL
+      |SELECT '_unmatched' AS port, count(*) AS cnt FROM events
+      | WHERE NOT coalesce(event_type = 'error', false)
+      |   AND NOT coalesce(value > 100, false)
+      |   AND NOT coalesce(user_id % 2 = 0, false)
+      |ORDER BY port""".stripMargin
+
   /** cardinality limiter's monitoring side (SURVEY §2.3): exact distinct tag
     * values per key; the enforcement path is the ScalaTest-covered variant.
     */

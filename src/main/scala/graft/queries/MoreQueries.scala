@@ -551,4 +551,29 @@ object MoreQueries {
       .select(col("vec_id"))
       .orderBy(col("vec_id"))
   }
+
+  /** q77: multi-probe ANN retrieval, provable slice (the q62 pattern for the
+    * MULTI-probe path): the same 5 planted exact clones of query vector 0
+    * sit in the query's own bucket (Hamming distance 0), so EVERY probe set
+    * — Hamming radius 0, 1 and 2 — must retrieve all of them at cosine 1.0.
+    * Each radius' top-k is pinned to the provable slice by exact embedding
+    * equality; the oracle is the clone list crossed with the radii. A radius
+    * that failed to probe the exact bucket (the retrieval bug this guards)
+    * would drop its 6 rows.
+    */
+  def annMultiProbeClones(s: SparkSession, dir: String): DataFrame = {
+    val e = DocQueries.embeddings(s, dir)
+    val q0 = e.filter(col("vec_id") === 0L)
+    val clones = (1 to 5).map(i =>
+      q0.withColumn("vec_id", lit(10000000L + i))).reduce(_ unionByName _)
+    val u = e.unionByName(clones)
+    (0 to 2).map { h =>
+      Similarity.lshTopKMultiProbe(u, "vec_id", "embedding", queryId = 0L,
+          k = 16, probeHamming = h)
+        .join(u.select(col("vec_id"), col("embedding")), "vec_id")
+        .crossJoin(broadcast(q0.select(col("embedding").as("_qe"))))
+        .filter(col("embedding") === col("_qe"))
+        .select(lit(h.toLong).as("probe_hamming"), col("vec_id"))
+    }.reduce(_ unionByName _).orderBy(col("probe_hamming"), col("vec_id"))
+  }
 }

@@ -53,6 +53,30 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("10^5 groups via the distributed-join carry-in (driverCarryLimit exceeded)") {
+    import spark.implicits._
+    // 100k groups × 3 rows each, groups interleaved in order space; a tiny
+    // driverCarryLimit forces the join path, the default forces the
+    // broadcast path — both must match the window oracle exactly
+    val nG = 100000
+    val df = (0 until nG * 3).map { i =>
+      (s"g${i % nG}", i.toLong, (i % 7 + 1).toLong)
+    }.toDF("grp", "ord", "v")
+    val w = Window.partitionBy("grp").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("want", coalesce(sum(col("v")).over(w), lit(0L)))
+    val joined = Pack.groupedPrefixSum(df, "grp", "ord", "v", numParts = 8,
+        driverCarryLimit = 1000)
+      .join(want.select(col("grp"), col("ord"), col("want")), Seq("grp", "ord"))
+    assert(joined.count() == nG * 3L)
+    assert(joined.filter(col("ex_cum") =!= col("want")).count() == 0,
+      "join-path carry-in must match the window oracle")
+    val bcast = Pack.groupedPrefixSum(df, "grp", "ord", "v", numParts = 8)
+      .join(want.select(col("grp"), col("ord"), col("want")), Seq("grp", "ord"))
+    assert(bcast.filter(col("ex_cum") =!= col("want")).count() == 0,
+      "broadcast-path carry-in must match the window oracle")
+  }
+
   test("caller orderBounds (superset) gives identical results") {
     val df = fixture(2000)
     val want = oracle(df)

@@ -182,4 +182,62 @@ class StreamingSpec extends AnyFunSuite {
     // every emitted sequence is exactly budget tokens
     assert(got.forall(_._3.length == budget))
   }
+
+  test("streaming metricalize replay: kind flips within one window match the batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Metricalize
+    implicit val sqlCtx = spark.sqlContext
+    // two specs on the SAME metric name with different kinds: every event
+    // emits both sub-events, so the packed ord flips the series kind on
+    // every step — the worst case for the arrival-order reset
+    val specs = Seq(
+      Metricalize.MetricSpec("toks", "counter", "col:value",
+        tagPaths = Map("src" -> "col:source")),
+      Metricalize.MetricSpec("toks", "gauge", "col:value",
+        tagPaths = Map("src" -> "col:source")))
+    // 24 events over 2 sources inside bucket [0, 60); ord-monotone batches
+    val evs: Seq[(String, Long, Long, Double)] =
+      (0 until 24).map(i => (s"s${i % 2}", (i * 2 + 1).toLong, i.toLong, (i % 7 + 1).toDouble))
+    def toDf(rows: Seq[(String, Long, Long, Double)]) =
+      rows.toDF("source", "ts_s", "seq", "value")
+        .withColumn("ts", timestamp_seconds(col("ts_s")))
+
+    val stream = MemoryStream[(String, Long, Long, Double)]
+    val sdf = stream.toDF().toDF("source", "ts_s", "seq", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val out = Metricalize.metricalizeStreamReplay(sdf, "props", specs,
+      "ts", 60L, col("seq"), watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("mzreplay_out")
+      .outputMode("append").start()
+    // two ord-monotone micro-batches inside the window, then watermark
+    // sentinels in later windows so the event-time timeout closes bucket 0
+    stream.addData(evs.take(12)); q.processAllAvailable()
+    stream.addData(evs.drop(12)); q.processAllAvailable()
+    stream.addData(Seq(("s0", 3600L, 1000L, 1.0))); q.processAllAvailable()
+    stream.addData(Seq(("s0", 7200L, 1001L, 1.0))); q.processAllAvailable()
+    q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame): Map[String, (String, String, Double, Long, Seq[Long], Long)] =
+      df.collect().map { r =>
+        val tags = r.getAs[Map[String, String]]("tags")
+        tags("src") -> ((r.getAs[String]("name"), r.getAs[String]("kind"),
+          r.getAs[Double]("m_sum"), r.getAs[Long]("m_count"),
+          r.getSeq[Long](r.fieldIndex("m_buckets")).toList,
+          r.getAs[Long]("mismatches")))
+      }.toMap
+
+    val got = canon(spark.table("mzreplay_out")
+      .filter(col("bucket") === 0L)
+      .select("name", "tags", "kind", "m_sum", "m_count", "m_buckets", "mismatches"))
+    val want = canon(graft.functions.Metricalize.metricalize(
+        toDf(evs), "props", specs, col("seq"))
+      .select("name", "tags", "kind", "m_sum", "m_count", "m_buckets", "mismatches"))
+    assert(got.size == 2, s"expected 2 series in bucket 0, got $got")
+    assert(got == want,
+      s"stream replay must match the batch kind-replay:\n got=$got\nwant=$want")
+    // every event flips the kind (counter,gauge,counter,...): 24 sub-events
+    // per series → 23 transitions
+    assert(got.values.forall(_._6 == 23L))
+  }
 }
