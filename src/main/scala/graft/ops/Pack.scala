@@ -81,7 +81,7 @@ object Pack {
     require(df.schema(df.schema.fieldIndex(orderCol)).dataType == LongType,
       s"$orderCol must be LONG (cast before calling)")
     require(driverCarryLimit > 0, "driverCarryLimit must be positive")
-    val reserved = Seq("_pk_bucket", "_pk_off", "_b", "_g", outCol)
+    val reserved = Seq("_pk_bucket", "_pk_off", "_pk_b", "_pk_g", outCol)
     require(!reserved.exists(df.columns.contains),
       s"input must not already carry any of ${reserved.mkString("/")}")
     val parts =
@@ -112,11 +112,11 @@ object Pack {
     // per group — bounded per-task memory regardless of group cardinality,
     // never a straggler wall.
     val totalsDf = df
-      .groupBy(bucketExpr.as("_b"), col(groupCol).as("_g"))
+      .groupBy(bucketExpr.as("_pk_b"), col(groupCol).as("_pk_g"))
       .agg(sum(col(valueCol)).as("_t"))
     val offWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_g")).orderBy(col("_b"))
-    val offsetsDf = totalsDf.select(col("_b"), col("_g"),
+      .partitionBy(col("_pk_g")).orderBy(col("_pk_b"))
+    val offsetsDf = totalsDf.select(col("_pk_b"), col("_pk_g"),
       (sum(col("_t")).over(offWin) - col("_t")).as("_pk_off"))
 
     // DRIVER-BOUNDED delivery (round 5): the offsets land on the driver only
@@ -174,9 +174,9 @@ object Pack {
       // row itself at each boundary
       val parted = df.withColumn("_pk_bucket", bucketExpr)
         .join(offsetsDf,
-          col("_pk_bucket") === col("_b") && col(groupCol) === col("_g"),
+          col("_pk_bucket") === col("_pk_b") && col(groupCol) === col("_pk_g"),
           "left")
-        .drop("_b", "_g")
+        .drop("_pk_b", "_pk_g")
         .repartition(parts, col("_pk_bucket"))
         .sortWithinPartitions(sortCols: _*)
       val bi = parted.schema.fieldIndex("_pk_bucket")
