@@ -127,11 +127,18 @@ object Pack {
     // joined in DISTRIBUTED form instead: one extra shuffle of the big frame
     // keyed exactly like phase 2's repartition, zero driver materialization
     // — the 100 TB shape for high-cardinality group columns.
+    // persisted around the probe so the over-limit path does not recompute
+    // phase 1 (the limit cannot push below the window): the fast path
+    // unpersists immediately after the collect; the join path keeps the
+    // cache (MEMORY_AND_DISK, bounded by the totals frame) for the lifetime
+    // of the returned plan
+    offsetsDf.persist()
     val probe = offsetsDf.limit(driverCarryLimit + 1).collect()
     val sortCols = Seq(col("_pk_bucket"), col(groupCol), col(orderCol)) ++
       tieCol.map(col)
 
     if (probe.length <= driverCarryLimit) {
+      offsetsDf.unpersist(blocking = false)
       probe.foreach { r =>
         require(!r.isNullAt(0),
           s"$orderCol must be non-null in prefix-sum input")
@@ -171,10 +178,13 @@ object Pack {
       // (bucket, group) — both jobs recompute the bucket as a pure function
       // of the row, so the join key cannot disagree with the layout — then
       // the same repartition + in-partition scan reads the offset from the
-      // row itself at each boundary
+      // row itself at each boundary. NULL-SAFE group equality (<=>): a null
+      // group key is a legal group in the broadcast path's (bucket, null)
+      // map key, and a plain === would silently miss it here — the two
+      // delivery paths must agree on every input
       val parted = df.withColumn("_pk_bucket", bucketExpr)
         .join(offsetsDf,
-          col("_pk_bucket") === col("_pk_b") && col(groupCol) === col("_pk_g"),
+          col("_pk_bucket") === col("_pk_b") && col(groupCol) <=> col("_pk_g"),
           "left")
         .drop("_pk_b", "_pk_g")
         .repartition(parts, col("_pk_bucket"))
@@ -195,7 +205,14 @@ object Pack {
           val key = (r.getLong(bi), normKey(r.get(gi)))
           if (curKey == null || key != curKey) {
             curKey = key
-            run = if (r.isNullAt(oi)) 0L else r.getLong(oi)
+            // every (bucket, group) of the input exists in the offsets frame
+            // by construction — a missing/null carry-in is a join bug or a
+            // null $valueCol somewhere in the group, never a legitimate zero
+            if (r.isNullAt(oi))
+              throw new IllegalStateException(
+                s"prefix-sum carry-in missing or null for (bucket=${r.getLong(bi)}, " +
+                  s"$groupCol=${r.get(gi)}) — join miss or null $valueCol in the group")
+            run = r.getLong(oi)
           }
           val out = Row.fromSeq(r.toSeq :+ run)
           run += r.getLong(vi)
