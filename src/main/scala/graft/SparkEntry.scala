@@ -125,7 +125,10 @@ object SparkEntry {
     "q75_tfidf_topk" -> (DocQueries.tfidfTopK _),
     // —— round 5: non-exclusive route + multi-probe provable slice ——
     "q76_route_multi" -> (EventQueries.routeMulti _),
-    "q77_ann_multiprobe_clones" -> (MoreQueries.annMultiProbeClones _)
+    "q77_ann_multiprobe_clones" -> (MoreQueries.annMultiProbeClones _),
+    // —— round 5: scale-shape decontamination + reproducible split ——
+    "q78_decontaminate_bloom" -> (DocQueries.decontaminateBloom _),
+    "q79_train_val_split" -> (DocQueries.trainValSplit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -501,6 +504,10 @@ object SparkEntry {
     "q74_dup_spans" -> graft.queries.DocQueries.dupSpansOracle,
     "q75_tfidf_topk" -> graft.queries.DocQueries.tfidfTopKOracle,
     "q76_route_multi" -> graft.queries.EventQueries.routeMultiOracle,
+    // q78: Bloom is candidate reduction only — the exact gram join defines
+    // the result, so q69's oracle applies verbatim
+    "q78_decontaminate_bloom" -> graft.queries.DocQueries.decontaminateBloomOracle,
+    "q79_train_val_split" -> graft.queries.DocQueries.trainValSplitOracle,
     // q77: clones sit in the query's exact bucket, so every probe radius
     // (0, 1, 2) must retrieve all of them; output pinned by exact embedding
     // equality — the q62 pattern for the multi-probe path

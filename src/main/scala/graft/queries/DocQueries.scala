@@ -744,4 +744,75 @@ object DocQueries {
       |  FROM sc)
       |SELECT source, token, tf, df, score, rk FROM r WHERE rk <= 5
       |ORDER BY source, rk""".stripMargin
+
+  /** q78: decontamination with a BLOOM prefilter — the 100 TB shape of q69.
+    * q69 broadcast-joins the benchmark gram set, which stops working when
+    * the held-out suite is itself large; here a Bloom filter over the
+    * benchmark grams (~10 bits/gram vs the 32-byte md5 strings) prefilters
+    * the training-gram stream BEFORE the join, so the join input shrinks by
+    * ~1/fpp and the join itself needs no broadcast hint. The exact join
+    * after the prefilter removes Bloom false positives, which is what keeps
+    * q69's DuckDB oracle EXACT for this variant too (the Bloom is pure
+    * candidate reduction, never a truth source).
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(slice(col("toks"), 6, 20).as("btoks"))
+      .filter(size(col("btoks")) >= 8)
+      .withColumn("i", explode(sequence(lit(1), size(col("btoks")) - 7)))
+      .select(md5(concat_ws(" ", slice(col("btoks"), col("i"), lit(8)))).as("g"))
+      .distinct()
+    val bloom = bench.stat.bloomFilter("g", expectedNumItems = 200000L, fpp = 0.001)
+    val bcBloom = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bcBloom.value.mightContainString(g))
+    docs.filter(size(col("toks")) >= 8)
+      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 7)))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(8)))).as("g"))
+      .filter(mightContain(col("g"))) // Bloom prefilter: ~1000× join-input cut
+      .join(bench, "g") // exact verify — no broadcast hint; the prefiltered
+                        // stream is small enough for any join strategy
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q78 oracle = q69's oracle verbatim: the Bloom stage is candidate
+    * reduction only; results are defined by the exact gram join.
+    */
+  val decontaminateBloomOracle: String = decontaminateOracle
+
+  /** q79: deterministic stratified train/validation split — the standard
+    * hash-split every training pipeline needs: per document, a 60-bit md5
+    * rank (the corpus' shared mixing key, [[graft.ops.Pack.md5Rank60]]);
+    * rank < (2^60 / 10) * 9 → train (~90%), else val. The threshold is an
+    * EXACT integer computed identically in both engines (floor-divide
+    * before multiply — Long-safe), so membership is bit-deterministic:
+    * re-running the split on any engine yields the same assignment, the
+    * property that makes a split reproducible across a 1000-executor
+    * cluster and a laptop. Census per (source, split): docs + tokens.
+    */
+  def trainValSplit(s: SparkSession, dir: String): DataFrame = {
+    val thr = (1152921504606846976L / 10L) * 9L // (2^60/10)*9, floor-divide first
+    documents(s, dir)
+      .select(col("source"),
+        when(graft.ops.Pack.md5Rank60(col("doc_id").cast("string")) < thr,
+          "train").otherwise("val").as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** DuckDB twin of [[trainValSplit]]. */
+  val trainValSplitOracle: String =
+    """SELECT source,
+      |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      |            < (1152921504606846976 // 10) * 9
+      |       THEN 'train' ELSE 'val' END AS split,
+      |  count(*) AS n_docs,
+      |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 }

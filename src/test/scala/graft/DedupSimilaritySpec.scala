@@ -116,6 +116,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.minhashDedup(degenerate, "doc_id", "text").count() == 0)
   }
 
+  test("minhashDedup audit tri-state: off/observed/eager agree on results; bad mode rejected") {
+    val expected = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    for (mode <- Seq("off", "observed", "eager")) {
+      val got = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.5,
+          audit = mode)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"audit=$mode must not change dedup results")
+    }
+    // eager mode runs its census action even when the guard will drop
+    // everything (the guaranteed pre-action census path)
+    val degenerate = (0L until 100L).map(i => (i, "the same boilerplate text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashDedup(degenerate, "doc_id", "text", audit = "eager").count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDedup(corpus, "doc_id", "text", audit = "loud")
+    }
+  }
+
+  test("dot/cosine/lshBucket columns resolve on a session that never called ensure") {
+    // ADVICE round-4 regression guard: the Column surface must work on ANY
+    // session (bridge-built expressions), not only after VectorExprs.ensure
+    val fresh = spark.newSession() // fresh function registry, no graft entries
+    val df = fresh.createDataFrame(Seq(
+      (1L, Seq(1.0, 0.0, 2.0), Seq(3.0, 4.0, 0.5))))
+      .toDF("id", "a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      round(Similarity.cosine(col("a"), col("a")), 6).as("c"),
+      Similarity.lshBucket(col("a"),
+        Similarity.hyperplanes(nBits = 4, dim = 3)).as("bkt")).head()
+    assert(r.getDouble(0) == 4.0) // 1*3 + 0*4 + 2*0.5
+    assert(r.getDouble(1) == 1.0)
+    assert(!r.isNullAt(2))
+  }
+
   test("simhash64 matches a single-node Scala oracle (xxhash64 parity via Spark)") {
     // oracle: recompute from Spark's own xxhash64 of each token (seed 42)
     val tokens = corpus.select($"doc_id", explode(split($"text", " ")).as("w"))
