@@ -128,7 +128,9 @@ object SparkEntry {
     "q77_ann_multiprobe_clones" -> (MoreQueries.annMultiProbeClones _),
     // —— round 5: scale-shape decontamination + reproducible split ——
     "q78_decontaminate_bloom" -> (DocQueries.decontaminateBloom _),
-    "q79_train_val_split" -> (DocQueries.trainValSplit _)
+    "q79_train_val_split" -> (DocQueries.trainValSplit _),
+    // —— round 5: statement-level VTL program (if/for/continue/del/return) ——
+    "q80_vtl_program" -> (MoreQueries.vtlProgram _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -508,6 +510,7 @@ object SparkEntry {
     // the result, so q69's oracle applies verbatim
     "q78_decontaminate_bloom" -> graft.queries.DocQueries.decontaminateBloomOracle,
     "q79_train_val_split" -> graft.queries.DocQueries.trainValSplitOracle,
+    "q80_vtl_program" -> graft.queries.MoreQueries.vtlProgramOracle,
     // q77: clones sit in the query's exact bucket, so every probe radius
     // (0, 1, 2) must retrieve all of them; output pinned by exact embedding
     // equality — the q62 pattern for the multi-probe path

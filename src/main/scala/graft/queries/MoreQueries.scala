@@ -576,4 +576,64 @@ object MoreQueries {
         .select(lit(h.toLong).as("probe_hamming"), col("vec_id"))
     }.reduce(_ unionByName _).orderBy(col("probe_hamming"), col("vec_id"))
   }
+
+  /** q80: a compiled MULTI-STATEMENT VTL program (SURVEY §2.7 statement
+    * surface — lib/vtl/src/compiler/statement.rs:13-80) exercising the full
+    * statement set end-to-end: chained assignment, if / else-if merge,
+    * `for k, v in map` with `continue`, and a final `return` (`del` and
+    * `break` ride VtlProgramSpec). The whole 7-statement program compiles to
+    * ONE Project over the events scan (VtlProgramSpec asserts the node
+    * count); the oracle replays the same program as plain SQL expressions.
+    */
+  def vtlProgram(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VtlProgram._
+    val program = Seq[Stmt](
+      // if value >= 150 { sev = "high" } else if value >= 50 { sev = "mid" }
+      //   else { sev = "low" }
+      If(env => ref(env, "value") >= 150.0,
+        Seq(Assign("sev", _ => lit("high"))),
+        Seq(If(env => ref(env, "value") >= 50.0,
+          Seq(Assign("sev", _ => lit("mid"))),
+          Seq(Assign("sev", _ => lit("low")))))),
+      // tags = {"type": event_type, "tmp_debug": props, "uid": str(user_id)}
+      Assign("tags", env => map(
+        lit("type"), ref(env, "event_type"),
+        lit("tmp_debug"), ref(env, "props"),
+        lit("uid"), ref(env, "user_id").cast("string"))),
+      // for k, v in tags { if starts_with(k, "tmp_") { continue }
+      //   tags["t_" + k] = uppercase(v) }
+      ForKV("tags", ref(_, "tags"),
+        ForBody(
+          continueWhen = Some((k, _) => k.startsWith("tmp_")),
+          yieldKey = (k, _) => concat(lit("t_"), k),
+          yieldValue = (_, v) => upper(v))),
+      // k_val = to_integer(parse_json(props).k)
+      Assign("k_val", env => get_json_object(ref(env, "props"), "$.k").cast("int")),
+      // if sev == "high" { alert = k_val % 2 == 0 } else { alert = false }
+      If(env => ref(env, "sev") === "high",
+        Seq(Assign("alert", env => ref(env, "k_val") % 2 === 0)),
+        Seq(Assign("alert", _ => lit(false)))),
+      // tags_str = canonical render (sorted k=v pairs) — keeps the oracle
+      // comparable without map-typed output
+      Assign("tags_str", env => array_join(transform(
+        array_sort(map_entries(ref(env, "tags"))),
+        e => concat(e("key"), lit("="), e("value"))), ",")),
+      Return(Seq("event_id", "sev", "alert", "tags_str")))
+    compile(EventQueries.events(s, dir), program).orderBy(col("event_id"))
+  }
+
+  /** q80 oracle: the statement program replayed as SQL — same CASE merge,
+    * same loop result (tmp_ dropped, keys prefixed t_, values uppercased,
+    * sorted render), same json parse and modulo.
+    */
+  val vtlProgramOracle: String =
+    """SELECT event_id,
+      |  CASE WHEN value >= 150 THEN 'high'
+      |       WHEN value >= 50 THEN 'mid' ELSE 'low' END AS sev,
+      |  CASE WHEN value >= 150
+      |       THEN (CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0)
+      |       ELSE false END AS alert,
+      |  't_type=' || upper(event_type) || ',t_uid=' || CAST(user_id AS VARCHAR)
+      |    AS tags_str
+      |FROM events ORDER BY event_id""".stripMargin
 }
