@@ -194,7 +194,14 @@ object Bench {
       }, math.max(1L, (cap * 1000).toLong), 2000L))
       val t0 = System.nanoTime()
       try {
-        TierCascade.run(spark, obs, lakeBase, seriesBuckets = 8, salts = 4,
+        // salts = 1: every tier aggregate is algebraic (TierRollup scaladoc),
+        // so map-side partial aggregation already bounds reducer skew — a hot
+        // (series, bucket) cell reaches its reducer as at most one partial
+        // per map partition. The salted two-phase path (kept in the library
+        // for holistic/sketch aggregates) only adds a second shuffle here:
+        // paired probe measured lo 161.9->138.9 s, hi 58.1->39.8 s going
+        // salts 4->1 (BENCH.md, cascade probe casc2).
+        TierCascade.run(spark, obs, lakeBase, seriesBuckets = 8, salts = 1,
           withHistograms = true, withPages = true)
         (n, Some((System.nanoTime() - t0) / 1e9))
       } catch { case _: Throwable if cancelled.get() => (n, None) }
@@ -519,7 +526,7 @@ object Bench {
         TokenFixture.tokenTable(s, 50000, withTokens = false))
         .select("series", "ts", "seq", "value")
       if (doCascade)
-        TierCascade.run(s, warmObs, warmBase, seriesBuckets = 8, salts = 4,
+        TierCascade.run(s, warmObs, warmBase, seriesBuckets = 8, salts = 1,
           withHistograms = true, withPages = true)
       // no generic ops warmup: each ops bench function runs an EXACT-CODE
       // warmup on a thin slice of its real input (same chunk counts and
