@@ -61,9 +61,27 @@ object TierCascade {
     // phases and keep executors busy end to end, exactly as a production
     // pipeline with several sinks would. Order within a chain is preserved
     // (each tier reads only the previous tier's committed partitions).
+    //
+    // FUSED 1m stage: the sum and histogram 1m tiers group by the SAME
+    // (series, bucket-60s) key, so materializing them separately scans and
+    // shuffles the raw table twice for the same grouping. When both are
+    // requested (and the unsalted single-phase plan applies), ONE fused
+    // aggregate produces both; it is persisted — tier-1m cardinality, raw
+    // cardinality divided by the per-cell observation count, MEMORY_AND_DISK
+    // — and materialized up front so both chains' 1m writes read the cache
+    // instead of racing to recompute the aggregation.
+    val fused1m: Option[DataFrame] =
+      if (withHistograms && salts == 1) {
+        val f = TierRollup.fromObsWithHistogram(
+          obsIn, graft.model.Schemas.bucketLadder, 60L).persist()
+        timed("raw->1m/hist_1m fused agg")(f.count())
+        Some(f)
+      } else None
+
     def sumChain(): Seq[TierResult] = {
-      val t1m = if (salts > 1) TierRollup.fromObsSalted(obsIn, 60L, salts)
-                else TierRollup.fromObs(obsIn, 60L)
+      val t1m = fused1m.map(TierRollup.tierColumns).getOrElse(
+        if (salts > 1) TierRollup.fromObsSalted(obsIn, 60L, salts)
+        else TierRollup.fromObs(obsIn, 60L))
       val lake1m = new LakeTable(spark, basePath, "tier_1m", "pk")
       val new1m = timed("raw->1m")(lake1m.append(t1m.withColumn("pk", partKey(seriesBuckets)),
         lineage = "raw->1m rollup bucket=60s"))
@@ -84,7 +102,8 @@ object TierCascade {
     def histChain(): Seq[TierResult] = {
       val ladder = graft.model.Schemas.bucketLadder
       val lakeH1m = new LakeTable(spark, basePath, "hist_1m", "pk")
-      val h1m = TierRollup.histogramFromObs(obsIn, ladder, 60L)
+      val h1m = fused1m.map(TierRollup.histColumns)
+        .getOrElse(TierRollup.histogramFromObs(obsIn, ladder, 60L))
       val newH1m = timed("raw->hist_1m")(lakeH1m.append(h1m.withColumn("pk", partKey(seriesBuckets)),
         lineage = "raw->hist_1m cumulative ladder"))
       val lakeH1h = new LakeTable(spark, basePath, "hist_1h", "pk")
@@ -123,6 +142,7 @@ object TierCascade {
         finally pool.shutdown()
       }
 
+    fused1m.foreach(_.unpersist(blocking = false))
     if (cacheObs) obsIn.unpersist(blocking = false)
     results
   }

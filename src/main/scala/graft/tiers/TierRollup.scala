@@ -165,6 +165,48 @@ object TierRollup {
         array(bucketCounts: _*).as("h_buckets"))
   }
 
+  /** Fused 1m stage: the sum-rollup aggregates AND the cumulative-bucket
+    * histogram counts from ONE scan + ONE shuffle. The two tiers group by the
+    * same (series, bucket) key, and the histogram's `h_count`/`h_sum` are
+    * exactly the rollup's `cnt`/`sum_v`, so materializing them separately
+    * (fromObs + histogramFromObs) costs a second full pass over the raw
+    * table for 11 extra rung sums. All aggregates stay algebraic /
+    * hash-friendly. Project the result with [[tierColumns]] /
+    * [[histColumns]] to recover the exact per-tier schemas.
+    */
+  def fromObsWithHistogram(obs: DataFrame, ladder: Array[Double], bucketSec: Long): DataFrame = {
+    require(bucketSec <= 86400, s"bucketSec $bucketSec exceeds the packed-ord range")
+    val rungs = ladder.map(b => sum(when(col("value") <= b, 1L).otherwise(0L)))
+    val aggs = rollupAggs(col("ts"), col("seq"), col("bucket"), col("value")) :+
+      array(rungs.toIndexedSeq: _*).as("h_buckets")
+    unpackOrd2(obs
+      .withColumn("bucket", bucketOf(col("ts"), bucketSec))
+      .groupBy(col("series"), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Sum-tier projection of [[fromObsWithHistogram]] — schema-identical to
+    * [[fromObs]]. */
+  def tierColumns(fused: DataFrame): DataFrame =
+    fused.select(col("series"), col("bucket"), col("sum_v"), col("cnt"), col("min_v"),
+      col("max_v"), col("last_v"), col("last_ts"), col("last_seq"))
+
+  /** Histogram-tier projection of [[fromObsWithHistogram]] — schema-identical
+    * to [[histogramFromObs]] (`h_count`/`h_sum` are the rollup's cnt/sum_v). */
+  def histColumns(fused: DataFrame): DataFrame =
+    fused.select(col("series"), col("bucket"), col("cnt").as("h_count"),
+      col("sum_v").as("h_sum"), col("h_buckets"))
+
+  /** unpackOrd preserving any extra columns after the rollup set. */
+  private def unpackOrd2(df: DataFrame): DataFrame = {
+    val extras = df.columns.filterNot(Set("series", "bucket", "sum_v", "cnt",
+      "min_v", "max_v", "last_v", "_ord").contains)
+    df.select((Seq(col("series"), col("bucket"), col("sum_v"), col("cnt"), col("min_v"),
+      col("max_v"), col("last_v"),
+      (col("bucket") + shiftright(col("_ord"), SeqBits)).as("last_ts"),
+      col("_ord").bitwiseAND(SeqMask).as("last_seq")) ++ extras.map(col)): _*)
+  }
+
   /** Histogram tier merge: element-wise cumulative-bucket add (equal ladder
     * layout assumed, mirroring the reference's same-layout requirement:
     * /root/reference/src/transforms/metricalize.rs:233-248).

@@ -95,6 +95,22 @@ class RollupSpec extends AnyFunSuite {
     }
   }
 
+  test("fused 1m stage: tier and histogram projections equal the separate forms exactly") {
+    val obs = obsDf(20000, skewed = true)
+    val ladder = Schemas.bucketLadder
+    val fused = TierRollup.fromObsWithHistogram(obs, ladder, 60L)
+    assert(collectTier(TierRollup.tierColumns(fused)) ==
+      collectTier(TierRollup.fromObs(obs, 60L)))
+    def histMap(df: DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("series"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("h_count"), r.getAs[Double]("h_sum"),
+          r.getAs[Seq[Long]]("h_buckets").toList))
+    }.toMap
+    val sep = TierRollup.histogramFromObs(obs, ladder, 60L)
+    assert(TierRollup.histColumns(fused).columns.sameElements(sep.columns))
+    assert(histMap(TierRollup.histColumns(fused)) == histMap(sep))
+  }
+
   test("histogram_quantile: interpolation, first-rung lower bound 0, overflow fallback, empty null") {
     import spark.implicits._
     val ladder = Array(1.0, 2.0, 5.0, 10.0)
