@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DocQueries, EventQueries, MoreQueries, TagQueries}
+import graft.queries.{DocQueries, EventQueries, MoreQueries, TagQueries, TraceQueries}
 import graft.sources.TokenFixture
 import graft.tiers.{TierCascade, TierRollup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -130,7 +130,11 @@ object SparkEntry {
     "q78_decontaminate_bloom" -> (DocQueries.decontaminateBloom _),
     "q79_train_val_split" -> (DocQueries.trainValSplit _),
     // —— round 5: statement-level VTL program (if/for/continue/del/return) ——
-    "q80_vtl_program" -> (MoreQueries.vtlProgram _)
+    "q80_vtl_program" -> (MoreQueries.vtlProgram _),
+    // —— round 5: trace analytics (Event::Trace — assembly, self-time, RED) ——
+    "q81_trace_summary" -> (TraceQueries.traceSummary _),
+    "q82_trace_selftime" -> (TraceQueries.traceSelfTime _),
+    "q83_trace_red" -> (TraceQueries.traceRed _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -511,6 +515,9 @@ object SparkEntry {
     "q78_decontaminate_bloom" -> graft.queries.DocQueries.decontaminateBloomOracle,
     "q79_train_val_split" -> graft.queries.DocQueries.trainValSplitOracle,
     "q80_vtl_program" -> graft.queries.MoreQueries.vtlProgramOracle,
+    "q81_trace_summary" -> graft.queries.TraceQueries.traceSummaryOracle,
+    "q82_trace_selftime" -> graft.queries.TraceQueries.traceSelfTimeOracle,
+    "q83_trace_red" -> graft.queries.TraceQueries.traceRedOracle,
     // q77: clones sit in the query's exact bucket, so every probe radius
     // (0, 1, 2) must retrieve all of them; output pinned by exact embedding
     // equality — the q62 pattern for the multi-probe path
