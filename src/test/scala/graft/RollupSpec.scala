@@ -111,6 +111,18 @@ class RollupSpec extends AnyFunSuite {
     assert(histMap(TierRollup.histColumns(fused)) == histMap(sep))
   }
 
+  test("fused 1m stage plan: ONE exchange, hash aggregation, no sort-based fallback") {
+    val fused = TierRollup.fromObsWithHistogram(obsDf(1000), Schemas.bucketLadder, 60L)
+    fused.count() // finalize the adaptive plan
+    val plan = fused.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly 1 shuffle:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate")
+      && !plan.contains("\n+- Sort ") && !plan.contains(" Sort ["),
+      s"fused agg must stay hash-based and sort-free:\n$plan")
+  }
+
   test("histogram_quantile: interpolation, first-rung lower bound 0, overflow fallback, empty null") {
     import spark.implicits._
     val ladder = Array(1.0, 2.0, 5.0, 10.0)
