@@ -460,6 +460,53 @@ object Bench {
     secs
   }
 
+  /** Per-shot shuffle-I/O attribution (round 5, after run Z3): a task-metrics
+    * listener whose deltas ride every timed shot's partial line as
+    * `sh_w_mb` (shuffle bytes written), `sh_w_sec` (task-summed shuffle
+    * write time) and `sh_fw_ms` (fetch wait). Z3 exposed a squall class no
+    * synthetic control witnesses: asof/mz hi walls degraded 15→18 / 17→22 s
+    * in a round where the register and malloc controls were FLAT (cpu
+    * 1.7→1.7 s, mem 1.1→1.1 s both rounds) — the degrading resource is
+    * tmpfs page allocation/reclaim on the shuffle path (this sandbox runs
+    * kdamond proactive reclaim; an 8 GiB plain-Java calibration measured
+    * fresh-tmpfs traffic at 109→232 MB/s going 2→8 threads — reclaim
+    * speed, not memcpy speed). Identical bytes at a collapsed `mb/sec`
+    * write rate across rounds is the in-record proof that a slow reading
+    * was squall-bound, not plan-bound — measured on the datapoint itself,
+    * at zero added wall (a synthetic tmpfs control was tried and dropped:
+    * at shuffle-representative volume its 1-3 s wall was allocation noise,
+    * at calibration volume it cost 150 s per round). A real cluster's
+    * shuffle lands on per-node disks that scale with executors.
+    */
+  private final class IoListener extends org.apache.spark.scheduler.SparkListener {
+    val wNanos = new java.util.concurrent.atomic.AtomicLong
+    val wBytes = new java.util.concurrent.atomic.AtomicLong
+    val fetchMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        wNanos.addAndGet(m.shuffleWriteMetrics.writeTime)
+        wBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        fetchMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+      }
+    }
+    /** (writeNanos, writeBytes, fetchWaitMs) — listener-bus events for a
+      * just-finished blocking action land within ms; the short sleep keeps
+      * the delta honest without private waitUntilEmpty APIs. */
+    def snap(): (Long, Long, Long) = {
+      Thread.sleep(150)
+      (wNanos.get, wBytes.get, fetchMs.get)
+    }
+  }
+
+  /** JSON fragment for one shot's shuffle-I/O delta. */
+  private def ioDelta(pre: (Long, Long, Long), post: (Long, Long, Long)): String = {
+    val mb = (post._2 - pre._2) / 1048576.0
+    val wSec = (post._1 - pre._1) / 1e9
+    val fwMs = post._3 - pre._3
+    f""""sh_w_mb":$mb%.1f,"sh_w_sec":$wSec%.2f,"sh_fw_ms":$fwMs"""
+  }
+
   /** One level's measurements: -1.0 marks "not run this child". */
   final case class LevelResult(n: Long, cascade: Double, asof: Double,
       mz: Double, asofBcast: Double, cpu: Double, mem: Double = -1.0)
@@ -525,6 +572,9 @@ object Bench {
       } else Array(Double.MaxValue, Double.MaxValue, Double.MaxValue, -1.0)
     val opsMaxWall = opsAbove(3)
     val s = session(cpus, aqe = false) // scaling children measure AQE-free
+    // per-shot shuffle-I/O attribution riding every timed shot's partial
+    val io = new IoListener
+    s.sparkContext.addSparkListener(io)
     try {
       val warmBase = Files.createTempDirectory("graft_warm").toString
       val warmObs = TokenFixture.deriveObs(
@@ -542,9 +592,11 @@ object Bench {
 
       var res = LevelResult(0L, -1.0, -1.0, -1.0, -1.0, -1.0)
       if (doCascade) {
+        val io0 = io.snap()
         val (n, c1) = cascade(s, rawPath)
+        val io1 = io.snap()
         res = res.copy(n = n, cascade = c1)
-        partial(f"""{"level":$cpus,"phase":"cascade","shot":1,"sec":$c1%.2f,"rows":$n}""")
+        partial(f"""{"level":$cpus,"phase":"cascade","shot":1,"sec":$c1%.2f,"rows":$n,${ioDelta(io0, io1)}}""")
         // grace: the shot-2 timed region is capped at c1 + grace — a shot 2
         // whose timed wall exceeds shot 1 cannot improve the min, so a
         // squall costs at most ~shot 1 + the untimed populate instead of an
@@ -575,12 +627,14 @@ object Bench {
           // the round: shot 1 is already measured and banked — the OPTIONAL
           // extra shot degrades to "no improvement", it cannot subtract
           try {
+            val io2 = io.snap()
             val (_, out) = cascadeImpl(s, rawPath, timedCap = Some(best + grace))
+            val io3 = io.snap()
             out match {
               case Some(c2) =>
                 best = math.min(best, c2)
                 res = res.copy(cascade = best)
-                partial(f"""{"level":$cpus,"phase":"cascade","shot":$shot,"sec":$c2%.2f,"rows":$n}""")
+                partial(f"""{"level":$cpus,"phase":"cascade","shot":$shot,"sec":$c2%.2f,"rows":$n,${ioDelta(io2, io3)}}""")
               case None =>
                 partial(f"""{"level":$cpus,"phase":"cascade","shot":$shot,"sec":${elapsedSec - tA}%.2f,"rows":$n,"aborted":true}""")
             }
@@ -609,8 +663,10 @@ object Bench {
         // invocation left warm, so the marginal cost is ~the timed region.
         // A rerun failure degrades to "no improvement": shot 1 is banked.
         def shots(name: String, above: Double, run: () => Double): Double = {
+          val io0 = io.snap()
           val s1 = run()
-          partial(f"""{"level":$cpus,"phase":"$name","shot":1,"sec":$s1%.2f}""")
+          val io1 = io.snap()
+          partial(f"""{"level":$cpus,"phase":"$name","shot":1,"sec":$s1%.2f,${ioDelta(io0, io1)}}""")
           var best = s1
           // FAIL-CLOSED: the parent always sends the live remaining budget
           // as maxWall, so a non-positive value means the budget is already
@@ -618,8 +674,10 @@ object Bench {
           if (best > above && opsMaxWall > 0 &&
               elapsedSec + best + 15 < opsMaxWall) {
             try {
+              val io2 = io.snap()
               val s2 = run()
-              partial(f"""{"level":$cpus,"phase":"$name","shot":2,"sec":$s2%.2f}""")
+              val io3 = io.snap()
+              partial(f"""{"level":$cpus,"phase":"$name","shot":2,"sec":$s2%.2f,${ioDelta(io2, io3)}}""")
               best = math.min(best, s2)
             } catch { case e: Exception =>
               val msg = sanitizeErr(e)
