@@ -122,8 +122,14 @@ object VtlProgram {
           slice(sorted, lit(1), when(pos === 0, size(sorted)).otherwise(pos - 1))
       }
       val kept = body.continueWhen match {
-        case None     => prefixed
-        case Some(cw) => filter(prefixed, e => !cw(e("key"), e("value")))
+        case None => prefixed
+        // coalesce(…, false): a NULL continue-predicate must KEEP the entry
+        // (vtl's `if cond { continue }` does not fire on null/falsy), and a
+        // bare !cw would evaluate to NULL, which filter() drops — the same
+        // falsy rule breakWhen already gets for free (array_position skips
+        // nulls) and Topology.Route applies to its port predicates
+        case Some(cw) =>
+          filter(prefixed, e => !coalesce(cw(e("key"), e("value")), lit(false)))
       }
       val out = map_from_entries(transform(kept, e =>
         struct(body.yieldKey(e("key"), e("value")).as("key"),

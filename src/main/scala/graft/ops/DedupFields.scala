@@ -67,25 +67,27 @@ object DedupFields {
     val schema = parted.schema
     val kn = ki.length
     parted.mapPartitions { it =>
-      val lru = new java.util.LinkedHashMap[Seq[Any], java.lang.Boolean](16, 0.75f, true) {
+      val lru = new java.util.LinkedHashMap[ReplayKeys.GroupKey, java.lang.Boolean](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[Seq[Any], java.lang.Boolean]): Boolean = size() > cacheSize
+            e: java.util.Map.Entry[ReplayKeys.GroupKey, java.lang.Boolean]): Boolean = size() > cacheSize
       }
-      // reused PROBE key: an ArraySeq wrapping a mutable array (proper
-      // element-wise equals/hashCode, zero copy). put() on a HIT keeps the
-      // map's existing key object and only refreshes recency, so the probe
-      // stays reusable; only a MISS stores the probe, and only then is a
-      // fresh array allocated — duplicate-heavy streams (the operator's
-      // whole point) run the loop allocation-free.
+      // reused PROBE key: a GroupKey wrapping a mutable array — element-wise
+      // equals/hashCode with Spark's key-grouping semantics for floats
+      // (±0.0 one key, NaN one key; ArraySeq's cooperative == would make
+      // NaN keys never match, so they would never dedup), zero copy. put()
+      // on a HIT keeps the map's existing key object and only refreshes
+      // recency, so the probe stays reusable; only a MISS stores the probe,
+      // and only then is a fresh array allocated — duplicate-heavy streams
+      // (the operator's whole point) run the loop allocation-free.
       var probeArr = new Array[Any](kn)
-      var probe = scala.collection.immutable.ArraySeq.unsafeWrapArray(probeArr)
+      var probe = new ReplayKeys.GroupKey(probeArr)
       it.filter { r =>
         var i = 0
         while (i < kn) { probeArr(i) = r.get(ki(i)); i += 1 }
         val miss = lru.put(probe, java.lang.Boolean.TRUE) == null
         if (miss) { // probe now owned by the map: next row needs its own
           probeArr = new Array[Any](kn)
-          probe = scala.collection.immutable.ArraySeq.unsafeWrapArray(probeArr)
+          probe = new ReplayKeys.GroupKey(probeArr)
         }
         miss // put refreshes recency on hit, like LruCache::put
       }

@@ -128,17 +128,23 @@ object Pack {
     // keyed exactly like phase 2's repartition, zero driver materialization
     // — the 100 TB shape for high-cardinality group columns.
     // persisted around the probe so the over-limit path does not recompute
-    // phase 1 (the limit cannot push below the window): the fast path
-    // unpersists immediately after the collect; the join path keeps the
-    // cache (MEMORY_AND_DISK, bounded by the totals frame) for the lifetime
-    // of the returned plan
-    offsetsDf.persist()
-    val probe = offsetsDf.limit(driverCarryLimit + 1).collect()
+    // phase 1 (the limit cannot push below the window) — as an RDD persist,
+    // NOT a DataFrame cache: the fast path unpersists immediately after the
+    // collect, but the join path's cache must outlive this call (the
+    // returned plan references it) and a CacheManager entry would then leak
+    // with no reachable unpersist point. An RDD persist is dropped by
+    // Spark's ContextCleaner as soon as the caller releases the returned
+    // plan — exactly the intended lifetime. Cost: one Row round-trip on the
+    // totals-sized frame, noise next to the pass it saves.
+    val offRdd = offsetsDf.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = spark.createDataFrame(offRdd, offsetsDf.schema)
+    val probe = offsets.limit(driverCarryLimit + 1).collect()
     val sortCols = Seq(col("_pk_bucket"), col(groupCol), col(orderCol)) ++
       tieCol.map(col)
 
     if (probe.length <= driverCarryLimit) {
-      offsetsDf.unpersist(blocking = false)
+      offRdd.unpersist(blocking = false)
       probe.foreach { r =>
         require(!r.isNullAt(0),
           s"$orderCol must be non-null in prefix-sum input")
@@ -183,7 +189,7 @@ object Pack {
       // map key, and a plain === would silently miss it here — the two
       // delivery paths must agree on every input
       val parted = df.withColumn("_pk_bucket", bucketExpr)
-        .join(offsetsDf,
+        .join(offsets,
           col("_pk_bucket") === col("_pk_b") && col(groupCol) <=> col("_pk_g"),
           "left")
         .drop("_pk_b", "_pk_g")

@@ -76,9 +76,10 @@ object Throttle {
       def sameKey(r: Row): Boolean = {
         var i = 0
         while (i < kn) {
-          val v = r.get(ki(i))
-          val c = curKey(i)
-          if (if (c == null) v != null else !c.equals(v)) return false
+          // ReplayKeys.eq, not Object.equals: the shuffle groups ±0.0 (and
+          // all NaNs) as ONE key, so the replay must too — a plain equals
+          // would reset the GCRA state mid-run on a -0.0/0.0 flip
+          if (!ReplayKeys.eq(curKey(i), r.get(ki(i)))) return false
           i += 1
         }
         true

@@ -758,12 +758,20 @@ object DocQueries {
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-    val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    val benchPlan = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
       .select(slice(col("toks"), 6, 20).as("btoks"))
       .filter(size(col("btoks")) >= 8)
       .withColumn("i", explode(sequence(lit(1), size(col("btoks")) - 7)))
       .select(md5(concat_ws(" ", slice(col("btoks"), col("i"), lit(8)))).as("g"))
       .distinct()
+    // ONE derivation of the benchmark grams: persisted as an RDD (not a
+    // CacheManager entry — the cache must outlive this builder for the
+    // verify join, and ContextCleaner releases an RDD persist when the
+    // caller drops the returned plan). Without it, stat.bloomFilter's eager
+    // job and the verify join each run the full bench derivation.
+    val benchRdd = benchPlan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = s.createDataFrame(benchRdd, benchPlan.schema)
     val bloom = bench.stat.bloomFilter("g", expectedNumItems = 200000L, fpp = 0.001)
     val bcBloom = s.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => g != null && bcBloom.value.mightContainString(g))

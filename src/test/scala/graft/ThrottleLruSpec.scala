@@ -59,6 +59,25 @@ class ThrottleLruSpec extends AnyFunSuite {
       101L -> true, 102L -> true, 103L -> false))
   }
 
+  test("float keys group as Spark groups them: ±0.0 is ONE GCRA run, NaN keys dedup") {
+    // the shuffle normalizes -0.0/0.0 (and all NaNs) to one key, so the
+    // replay loops must too: -0.0 and 0.0 share a GCRA limiter (Object
+    // .equals would reset state on every flip, admitting everything), and
+    // NaN-keyed rows dedup (cooperative == would make NaN never match)
+    val w = 5000000L
+    val events = Seq((0.0, 0L, 1L), (-0.0, 1000L, 2L), (0.0, 2000L, 3L))
+    val got = Throttle.gcraAdmit(events.toDF("key", "t", "seq"), Seq("key"),
+      col("t"), col("seq"), 2, w)
+      .select("seq", "admitted").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false))
+
+    val dupes = Seq((Double.NaN, 1L, 1L), (Double.NaN, 2L, 2L), (1.5, 3L, 3L))
+      .toDF("key", "ts", "seq")
+    val kept = DedupFields.dedupLru(dupes, Seq("key"), "ts", "seq", cacheSize = 10)
+      .select("seq").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"NaN dup must be dropped, got $kept")
+  }
+
   test("GCRA throttle matches the Scala oracle on random times, any partitioning") {
     val rnd = new scala.util.Random(11)
     val keys = Seq("a", "b", "c", "d")

@@ -75,6 +75,23 @@ class VtlProgramSpec extends AnyFunSuite {
     assert(out.select("r").as[String].head() == "t_a=Y,t_b=X")
   }
 
+  test("for k,v: a NULL continue-predicate keeps the entry (vtl falsy rule)") {
+    // value "n" maps the predicate to NULL via a null-propagating compare;
+    // vtl's `if cond { continue }` does not fire on null/falsy, so the
+    // entry must survive (a bare !pred would be NULL and filter() drops it)
+    val df = Seq(1).toDF("id").withColumn("m",
+      map(lit("a"), lit("1"), lit("b"), lit(null).cast("string"), lit("c"), lit("9")))
+    val out = VtlProgram.compile(df, Seq(
+      ForKV("m", env => ref(env, "m"), ForBody(
+        continueWhen = Some((_, v) => v > lit("5")), // NULL for the null value
+        yieldKey = (k, _) => k,
+        yieldValue = (_, v) => coalesce(v, lit("-")))),
+      Assign("r", env => array_join(transform(
+        array_sort(map_entries(ref(env, "m"))),
+        e => concat(e("key"), lit("="), e("value"))), ","))))
+    assert(out.select("r").as[String].head() == "a=1,b=-")
+  }
+
   test("for k,v: break ends iteration BEFORE the firing entry, in sorted-key order") {
     val df = Seq(1).toDF("id").withColumn("m",
       map(lit("c"), lit("3"), lit("a"), lit("1"), lit("stop"), lit("9"), lit("b"), lit("2")))

@@ -29,7 +29,10 @@ object ReplayProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val path = s"/tmp/graft_bench/replayev_n$nEv"
-    if (!new java.io.File(path).exists()) {
+    // gate on _SUCCESS, not the bare dir (same rule as Bench.ensureRaw): a
+    // probe killed mid-write must not leave a torn fixture that the next
+    // invocation silently benchmarks against
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       spark.range(nEv).select(
           col("id").as("seq"),
           concat(lit("k"), pmod(xxhash64(col("id")), lit(nKeys))).as("key"),
