@@ -79,4 +79,27 @@ class BenchSchedulerSpec extends AnyFunSuite {
     assert(next(2, 2, opsAtRisk = true, cascAllHealthy = false,
       cascAdmissible = false, opsAdmissible = false) == "stop")   // budget gone
   }
+
+  // ---- targeted top-up rounds (Bench.targetedPick) ----
+
+  test("targeted pick: the sub-bar datapoint is chosen; healthy ones are not") {
+    assert(Bench.targetedPick(0.9, 0.67, 2, 2, 3).contains("mz"))
+    assert(Bench.targetedPick(0.74, 0.93, 2, 2, 3).contains("asof"))
+    assert(Bench.targetedPick(0.85, 0.88, 2, 2, 3).isEmpty)
+  }
+
+  test("targeted pick: both sub-bar -> the worse median first (the Z3 shape: asof 0.789, mz 0.762)") {
+    assert(Bench.targetedPick(0.789, 0.762, 2, 2, 3).contains("mz"))
+    assert(Bench.targetedPick(0.70, 0.78, 2, 2, 3).contains("asof"))
+  }
+
+  test("targeted pick: a datapoint at its round cap is never re-targeted") {
+    assert(Bench.targetedPick(0.6, 0.6, 3, 2, 3).contains("mz"))
+    assert(Bench.targetedPick(0.6, 0.6, 3, 3, 3).isEmpty)
+  }
+
+  test("targeted pick: a datapoint with NO measured round (med -1) needs a full round, not a targeted one") {
+    assert(Bench.targetedPick(-1.0, 0.7, 0, 2, 3).contains("mz"))
+    assert(Bench.targetedPick(-1.0, -1.0, 0, 0, 3).isEmpty)
+  }
 }
