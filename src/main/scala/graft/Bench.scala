@@ -101,15 +101,28 @@ object Bench {
     * (med < 0) is not a targeted candidate — it needs a FULL round, which
     * only the main scheduler can admit.
     */
-  /** PURE margin for the next cascade round's budget admission (unit-tested):
-    * the round that brings an AT-RISK cascade median to three rounds gets a
-    * relaxed 0.90 margin — at 2 rounds the median is the mean, so one foul
-    * window drags a healthy reading under the bar (run Z4: 0.753/0.777 →
-    * 0.765 MISS with the squall attributed in-record); a third round makes
-    * it a true median. Every other round keeps the strict 1.02.
+  /** PURE budget price for admitting the NEXT cascade round (unit-tested).
+    * Base price: the last round's wall minus its rerun shot (the rerun only
+    * fires in bad weather), with the strict 1.02 margin.
+    *
+    * The round that brings an AT-RISK cascade median (sub-bar over 2
+    * rounds) to THREE is priced differently — the round-3a admission rule
+    * (run Z6): it must arrive FULLY INSURED, lo + hi + one hi rerun + the
+    * child's fixed gate slack (grace 5 + teardown 30), at margin 1.0. Z6
+    * admitted its at-risk round 3 on the old relaxed 0.90-of-base price at
+    * left=294 s; after the 109 s lo shot the hi child's allowance could no
+    * longer fit the rerun its 44 s squall shot demanded, and the rerun-less
+    * 0.620 DRAGGED the 0.796 2-round mean down to a 0.760 3-round median.
+    * An at-risk third round that cannot insure its hi shot is worth less
+    * than no round at all — the median it was meant to stabilize is
+    * exactly the thing its own squall exposure poisons. (The insurance
+    * replaces the old 0.90 discount: admission is easier than 1.02 of base
+    * only when the last hi shot was small relative to the round.)
     */
-  private[graft] def cascMargin(nRounds: Int, atRisk: Boolean): Double =
-    if (nRounds == 2 && atRisk) 0.90 else 1.02
+  private[graft] def cascAdmitCost(lastCost: Double, lastRerun: Double,
+      lastHiShot: Double, nRounds: Int, atRisk: Boolean): Double =
+    if (nRounds == 2 && atRisk) lastCost - lastRerun + lastHiShot + 35.0
+    else (lastCost - lastRerun) * 1.02
 
   private[graft] def targetedPick(asofMed: Double, mzMed: Double,
       asofRounds: Int, mzRounds: Int, maxRounds: Int): Option[String] = {
@@ -954,18 +967,19 @@ object Bench {
     // 1778 s run completed rc=0; children additionally self-cap on the wall
     // allowance they were launched with, so an admitted round cannot run
     // away), and the final JSON always prints.
-    // cascMargin: the round that brings an AT-RISK cascade median to THREE
-    // rounds gets a relaxed 0.90 margin (round 5, after run Z4's 0.765
-    // two-round miss). 0.90 of a ~330 s cascade round bounds the overrun at
-    // ~35 s — the same absolute exposure as the ops family's 0.85-of-280 s
-    // relaxed round; the query pass is prepaid, the hi child self-caps on
-    // its launch-time wall allowance, and the final JSON always prints.
+    // cascAdmitCost: the round that brings an AT-RISK cascade median to
+    // THREE rounds is admitted only FULLY INSURED — lo + hi + one hi rerun
+    // + the child's gate slack (the round-3a rule; see cascAdmitCost's
+    // scaladoc for the run-Z6 failure it pins). The query pass is prepaid,
+    // the hi child self-caps on its launch-time wall allowance, and the
+    // final JSON always prints.
     val ratioOf = (p: (Double, Double)) => (p._1 / p._2) / ratio
     def cascAtRisk: Boolean =
       cascRounds.nonEmpty && med(cascRounds.map(ratioOf)) < 0.8
     def cascNextFits: Boolean =
       cascRounds.isEmpty ||
-        left > (cascCost - cascRerunSec) * cascMargin(cascRounds.size, cascAtRisk)
+        left > cascAdmitCost(cascCost, cascRerunSec,
+          cascHiSecs.headOption.getOrElse(0.0), cascRounds.size, cascAtRisk)
     def med(xs: Seq[Double]): Double = {
       val s = xs.filter(_ > 0).sorted
       if (s.isEmpty) -1.0

@@ -41,16 +41,27 @@ object Pages {
     * collect_list formulation materialized every group as an array struct
     * (~16M rows at bench scale), which was GC-bound and did not scale with
     * cores (measured 11.1s→9.9s from local[8]→local[32]; this path scales).
+    *
+    * `preArranged = true` skips the repartition+sort: the CALLER guarantees
+    * the input is already partitioned so that all rows of a series share one
+    * partition and sorted by (series, ts, seq) within partitions (the
+    * co-partitioned cascade's shared exchange — TierCascade scaladoc). The
+    * bucket is a monotone function of ts, so within a series the (ts, seq)
+    * order is exactly the (bucket, ts, seq) order and consecutive-key
+    * grouping and page bit-streams are BIT-IDENTICAL to the self-arranged
+    * form (spec-asserted, RollupSpec "co-partitioned cascade").
     */
-  def pagesFromObs(obs: DataFrame, bucketSec: Long): DataFrame = {
+  def pagesFromObs(obs: DataFrame, bucketSec: Long,
+      preArranged: Boolean = false): DataFrame = {
     val spark = obs.sparkSession
     import spark.implicits._
     val withBucket = obs.select(col("series"),
       (floor(col("ts") / bucketSec) * bucketSec).cast("long").as("bucket"),
       col("ts"), col("seq"), col("value"))
-    val parted = withBucket
-      .repartition(col("series"), col("bucket"))
-      .sortWithinPartitions("series", "bucket", "ts", "seq")
+    val parted = (if (preArranged) withBucket
+      else withBucket
+        .repartition(col("series"), col("bucket"))
+        .sortWithinPartitions("series", "bucket", "ts", "seq"))
       .as[(String, Long, Long, Long, Double)]
     parted.mapPartitions { it =>
       new Iterator[PageRow] {

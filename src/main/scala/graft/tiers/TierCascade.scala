@@ -30,6 +30,24 @@ object TierCascade {
     *        Histogram rollup (north_star "histogram/summary rollups").
     * @param withPages also materialize Gorilla delta-of-delta+XOR binary
     *        pages per (series, hour), resumable like every other tier.
+    * @param copartition share ONE series-hash exchange across every raw
+    *        consumer (applies when salts == 1). The raw observations are
+    *        repartitioned by `series`, sorted by (series, ts, seq) within
+    *        partitions, and persisted; then (a) the 1m aggregates run
+    *        EXCHANGE-FREE — HashPartitioning(series) satisfies the groupBy's
+    *        ClusteredDistribution(series, bucket), so Catalyst elides the
+    *        shuffle — and (b) the pages pass consumes the arrangement
+    *        directly (Pages.pagesFromObs preArranged). Why this wins at
+    *        scale: with few observations per (series, bucket) cell relative
+    *        to the map-partition count, map-side combine compresses almost
+    *        nothing, so the aggregate's "partial" shuffle carries ~one WIDE
+    *        partial row (rollup fields + histogram rungs) per input row,
+    *        and the pages chain shuffles the raw rows AGAIN — the
+    *        co-partitioned form shuffles the narrow 4-column rows exactly
+    *        once for both (measured: 732 → ~250 MB zstd shuffle bytes and
+    *        the dominant stage exchange-free; BENCH.md "co-partitioned
+    *        cascade"). Skew bound: one series must fit one task's share —
+    *        with hot KEYS (not hot series) the salted path remains the tool.
     */
   def run(
       spark: SparkSession,
@@ -39,7 +57,8 @@ object TierCascade {
       salts: Int = 1,
       withHistograms: Boolean = false,
       withPages: Boolean = false,
-      cacheObs: Boolean = false): Seq[TierResult] = {
+      cacheObs: Boolean = false,
+      copartition: Boolean = false): Seq[TierResult] = {
     // One shared scan for the three raw consumers (1m rollup, histogram,
     // pages): obs is a narrow 4-column projection, far smaller than the raw
     // table, so caching it trades a bounded memory footprint for two full
@@ -52,6 +71,21 @@ object TierCascade {
       println(f"[cascade] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+
+    // Co-partitioned arrangement (see the `copartition` param doc): one
+    // narrow-row series-hash exchange, sorted within partitions, persisted —
+    // every raw consumer below reads it instead of re-shuffling.
+    val arranged: Option[DataFrame] =
+      if (copartition && salts == 1) {
+        val p = obsIn
+          .select(col("series"), col("ts"), col("seq"), col("value"))
+          .repartition(col("series"))
+          .sortWithinPartitions("series", "ts", "seq")
+          .persist()
+        timed("copartition series exchange")(p.count())
+        Some(p)
+      } else None
+    val obsSrc = arranged.getOrElse(obsIn)
 
     // The three chains — sum tiers (raw→1m→1h→1d), histogram tiers
     // (raw→hist_1m→1h→1d) and Gorilla pages (raw→pages_1h) — have no data
@@ -73,7 +107,7 @@ object TierCascade {
     val fused1m: Option[DataFrame] =
       if (withHistograms && salts == 1) {
         val f = TierRollup.fromObsWithHistogram(
-          obsIn, graft.model.Schemas.bucketLadder, 60L).persist()
+          obsSrc, graft.model.Schemas.bucketLadder, 60L).persist()
         timed("raw->1m/hist_1m fused agg")(f.count())
         Some(f)
       } else None
@@ -81,7 +115,7 @@ object TierCascade {
     def sumChain(): Seq[TierResult] = {
       val t1m = fused1m.map(TierRollup.tierColumns).getOrElse(
         if (salts > 1) TierRollup.fromObsSalted(obsIn, 60L, salts)
-        else TierRollup.fromObs(obsIn, 60L))
+        else TierRollup.fromObs(obsSrc, 60L))
       val lake1m = new LakeTable(spark, basePath, "tier_1m", "pk")
       val new1m = timed("raw->1m")(lake1m.append(t1m.withColumn("pk", partKey(seriesBuckets)),
         lineage = "raw->1m rollup bucket=60s"))
@@ -103,7 +137,7 @@ object TierCascade {
       val ladder = graft.model.Schemas.bucketLadder
       val lakeH1m = new LakeTable(spark, basePath, "hist_1m", "pk")
       val h1m = fused1m.map(TierRollup.histColumns)
-        .getOrElse(TierRollup.histogramFromObs(obsIn, ladder, 60L))
+        .getOrElse(TierRollup.histogramFromObs(obsSrc, ladder, 60L))
       val newH1m = timed("raw->hist_1m")(lakeH1m.append(h1m.withColumn("pk", partKey(seriesBuckets)),
         lineage = "raw->hist_1m cumulative ladder"))
       val lakeH1h = new LakeTable(spark, basePath, "hist_1h", "pk")
@@ -122,7 +156,8 @@ object TierCascade {
 
     def pagesChain(): Seq[TierResult] = {
       val lakeP = new LakeTable(spark, basePath, "pages_1h", "pk")
-      val p = graft.functions.Pages.pagesFromObs(obsIn, 3600L)
+      val p = graft.functions.Pages.pagesFromObs(obsSrc, 3600L,
+        preArranged = arranged.nonEmpty)
       val newP = timed("raw->pages_1h")(lakeP.append(p.withColumn("pk", partKey(seriesBuckets)),
         lineage = "raw->pages_1h gorilla dod+xor"))
       Seq(TierResult("pages_1h", lakeP, newP))
@@ -143,6 +178,7 @@ object TierCascade {
       }
 
     fused1m.foreach(_.unpersist(blocking = false))
+    arranged.foreach(_.unpersist(blocking = false))
     if (cacheObs) obsIn.unpersist(blocking = false)
     results
   }

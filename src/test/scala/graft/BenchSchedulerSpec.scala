@@ -103,15 +103,34 @@ class BenchSchedulerSpec extends AnyFunSuite {
     assert(Bench.targetedPick(-1.0, -1.0, 0, 0, 3).isEmpty)
   }
 
-  // ---- cascade at-risk relaxed margin (Bench.cascMargin) ----
+  // ---- cascade round admission price (Bench.cascAdmitCost) ----
 
-  test("cascade margin: the round bringing an at-risk 2-round median to 3 relaxes to 0.90") {
-    assert(Bench.cascMargin(2, atRisk = true) == 0.90)
+  test("at-risk third round must arrive fully insured: lo + hi + one hi rerun + gate slack") {
+    // run Z6's shape: last round cost 257 s net of its 37 s rerun, last hi
+    // shot 33 s -> price 257 + 33 + 35 = 325; the 294 s that Z6 had left
+    // correctly DENIES the round (the old 0.90-of-base price admitted it,
+    // its hi squall shot could not afford its rerun, and the rerun-less
+    // 0.620 dragged the 2-round 0.796 mean to a 0.760 3-round median)
+    val price = Bench.cascAdmitCost(294.0, 37.0, 33.0, nRounds = 2, atRisk = true)
+    assert(price == 294.0 - 37.0 + 33.0 + 35.0)
+    assert(price > 294.0 * 0.90) // stricter than the old relaxed margin here
   }
 
-  test("cascade margin: healthy or non-third rounds keep the strict 1.02") {
-    assert(Bench.cascMargin(2, atRisk = false) == 1.02)
-    assert(Bench.cascMargin(1, atRisk = true) == 1.02)  // round 2 is always admitted on the strict margin (it fits anyway)
-    assert(Bench.cascMargin(0, atRisk = false) == 1.02)
+  test("healthy or non-third rounds keep the strict 1.02 of base (rerun excluded)") {
+    assert(Bench.cascAdmitCost(300.0, 40.0, 35.0, 2, atRisk = false) == 260.0 * 1.02)
+    // round 2 is always admitted on the strict margin (it fits anyway)
+    assert(Bench.cascAdmitCost(300.0, 0.0, 35.0, 1, atRisk = true) == 300.0 * 1.02)
+    assert(Bench.cascAdmitCost(300.0, 0.0, 35.0, 0, atRisk = false) == 300.0 * 1.02)
+  }
+
+  test("insured at-risk price is cheaper than strict only when the hi shot is small") {
+    // a cascade whose hi shot is a small fraction of the round: insurance
+    // (hi + 35) costs less than the 2% strict margin would on a huge round
+    assert(Bench.cascAdmitCost(3000.0, 0.0, 20.0, 2, atRisk = true) <
+      Bench.cascAdmitCost(3000.0, 0.0, 20.0, 2, atRisk = false))
+    // bench-scale rounds: insurance costs more — an uninsured at-risk round
+    // is worth less than none
+    assert(Bench.cascAdmitCost(300.0, 0.0, 40.0, 2, atRisk = true) >
+      Bench.cascAdmitCost(300.0, 0.0, 40.0, 2, atRisk = false))
   }
 }

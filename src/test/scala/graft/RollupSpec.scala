@@ -123,6 +123,55 @@ class RollupSpec extends AnyFunSuite {
       s"fused agg must stay hash-based and sort-free:\n$plan")
   }
 
+  test("co-partitioned cascade: every tier, histogram and page byte-stream " +
+      "equals the standard run (skewed fixture)") {
+    import java.nio.file.Files
+    val obs = obsDf(20000, skewed = true)
+    def runAll(copart: Boolean): Map[String, Set[String]] = {
+      val base = Files.createTempDirectory("copart").toString
+      val results = TierCascade.run(spark, obs, base, seriesBuckets = 4,
+        salts = 1, withHistograms = true, withPages = true,
+        copartition = copart)
+      results.map { tr =>
+        val rows = tr.table.read().drop("pk").collect().map { r =>
+          r.toSeq.map {
+            case b: Array[Byte] => b.map("%02x".format(_)).mkString
+            case s: Seq[_] => s.mkString(",")
+            case x => String.valueOf(x)
+          }.mkString("|")
+        }.toSet
+        tr.name -> rows
+      }.toMap
+    }
+    val std = runAll(copart = false)
+    val cop = runAll(copart = true)
+    assert(std.keySet == cop.keySet)
+    std.foreach { case (name, rows) =>
+      assert(cop(name) == rows, s"tier $name diverges under copartition")
+    }
+  }
+
+  test("co-partitioned fused agg plans exchange-free above the arrangement") {
+    val arrangedObs = obsDf(5000)
+      .repartition(col("series"))
+      .sortWithinPartitions("series", "ts", "seq")
+      .persist()
+    try {
+      arrangedObs.count()
+      val fused = TierRollup.fromObsWithHistogram(arrangedObs,
+        Schemas.bucketLadder, 60L)
+      fused.count()
+      val plan = fused.queryExecution.executedPlan.toString
+      // the only exchange is INSIDE the cached arrangement; above the cache
+      // boundary the aggregate must be exchange-free and hash-based
+      val above = plan.split("InMemoryRelation").head
+      assert(!above.contains("Exchange"),
+        s"expected no exchange above the arrangement cache:\n$plan")
+      assert(above.contains("HashAggregate") && !above.contains("SortAggregate"),
+        s"expected hash aggregation:\n$plan")
+    } finally arrangedObs.unpersist()
+  }
+
   test("histogram_quantile: interpolation, first-rung lower bound 0, overflow fallback, empty null") {
     import spark.implicits._
     val ladder = Array(1.0, 2.0, 5.0, 10.0)

@@ -7,11 +7,12 @@ import org.apache.spark.sql.SparkSession
 /** Dev probe: the FULL bench cascade (3 concurrent chains, lake commits) at
   * one parallelism level with a chosen salt factor, bench-identical session.
   * One shot per JVM:
-  *   sbt "Test/runMain graft.tools.CascProbe 8 1 [rawPath] [codec]"
+  *   sbt "Test/runMain graft.tools.CascProbe 8 1 [rawPath] [codec] [copart]"
   * The optional 4th arg sets spark.io.compression.codec (default lz4 — the
   * bench's shipped codec); the probe prints the populate wall and the shot's
   * shuffle-write bytes/time so a codec A/B prices its tmpfs-page savings
-  * against its CPU cost.
+  * against its CPU cost. The optional 5th arg "copart" runs the
+  * co-partitioned cascade (one shared series-hash exchange).
   */
 object CascProbe {
   private def deleteRec(f: java.io.File): Unit = {
@@ -23,6 +24,7 @@ object CascProbe {
     val salts = args(1).toInt
     val raw = if (args.length > 2) args(2) else "/tmp/graft_bench/raw_v2_n48000000"
     val codec = if (args.length > 3) args(3) else "lz4"
+    val copart = args.length > 4 && args(4) == "copart"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .appName(s"casc-probe-$cpus")
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
@@ -55,7 +57,8 @@ object CascProbe {
     val warmBase = s"/dev/shm/casc-probe-warm-$cpus"
     deleteRec(new java.io.File(warmBase))
     TierCascade.run(spark, obs.limit(200000), warmBase, seriesBuckets = 8,
-      salts = salts, withHistograms = true, withPages = true)
+      salts = salts, withHistograms = true, withPages = true,
+      copartition = copart)
     deleteRec(new java.io.File(warmBase))
     val base = s"/dev/shm/casc-probe-$cpus-$salts"
     deleteRec(new java.io.File(base))
@@ -63,12 +66,12 @@ object CascProbe {
     val (b0, n0) = (wBytes.get, wNanos.get)
     val t0 = System.nanoTime()
     TierCascade.run(spark, obs, base, seriesBuckets = 8, salts = salts,
-      withHistograms = true, withPages = true)
+      withHistograms = true, withPages = true, copartition = copart)
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(150)
     val shMb = (wBytes.get - b0) / 1048576.0
     val shSec = (wNanos.get - n0) / 1e9
-    println(f"CASC_PROBE cpus=$cpus salts=$salts codec=$codec n=$n populate=$populateSec%.2f sec=$sec%.2f sh_w_mb=$shMb%.1f sh_w_sec=$shSec%.2f")
+    println(f"CASC_PROBE cpus=$cpus salts=$salts codec=$codec copart=$copart n=$n populate=$populateSec%.2f sec=$sec%.2f sh_w_mb=$shMb%.1f sh_w_sec=$shSec%.2f")
     deleteRec(new java.io.File(base))
     spark.stop()
   }
