@@ -44,10 +44,14 @@ object TierCascade {
     *        partial row (rollup fields + histogram rungs) per input row,
     *        and the pages chain shuffles the raw rows AGAIN — the
     *        co-partitioned form shuffles the narrow 4-column rows exactly
-    *        once for both (measured: 732 → ~250 MB zstd shuffle bytes and
-    *        the dominant stage exchange-free; BENCH.md "co-partitioned
-    *        cascade"). Skew bound: one series must fit one task's share —
-    *        with hot KEYS (not hot series) the salted path remains the tool.
+    *        once for both (measured: 732 → 439 MB zstd shuffle bytes, lo
+    *        wall −14–17% and clean hi wall −9% at bench scale, the dominant
+    *        stage exchange-free; BENCH.md "co-partitioned-cascade A/B").
+    *        This is the absolute-wall / network-bytes shape for real
+    *        clusters; the bench's graded 2→8 ratio prefers the standard
+    *        shape on this one-socket box (see the A/B note). Skew bound:
+    *        one series must fit one task's share — with hot KEYS (not hot
+    *        series) the salted path remains the tool.
     */
   def run(
       spark: SparkSession,
