@@ -31,6 +31,12 @@ object CascProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.io.compression.codec", codec)
+      // A/B hook: larger shuffle write buffers (fewer, larger tmpfs writes)
+      // to price against the hi child's sh_w_sec stall
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUF_BUF", "32k"))
+      .config("spark.shuffle.unsafe.file.output.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUF_BUF", "32k"))
       .config("spark.local.dir", {
         val d = "/dev/shm/graft-spark-local"; new java.io.File(d).mkdirs(); d
       })
