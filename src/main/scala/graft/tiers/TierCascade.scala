@@ -62,7 +62,8 @@ object TierCascade {
       withHistograms: Boolean = false,
       withPages: Boolean = false,
       cacheObs: Boolean = false,
-      copartition: Boolean = false): Seq[TierResult] = {
+      copartition: Boolean = false,
+      pagesFirst: Boolean = true): Seq[TierResult] = {
     // One shared scan for the three raw consumers (1m rollup, histogram,
     // pages): obs is a narrow 4-column projection, far smaller than the raw
     // table, so caching it trades a bounded memory footprint for two full
@@ -106,15 +107,23 @@ object TierCascade {
     // requested (and the unsalted single-phase plan applies), ONE fused
     // aggregate produces both; it is persisted — tier-1m cardinality, raw
     // cardinality divided by the per-cell observation count, MEMORY_AND_DISK
-    // — and materialized up front so both chains' 1m writes read the cache
-    // instead of racing to recompute the aggregation.
-    val fused1m: Option[DataFrame] =
+    // — and materialized BEFORE the sum/hist chains launch so both 1m
+    // writes read the cache instead of racing to recompute the aggregation.
+    // It is, however, materialized AFTER the pages chain is launched: pages
+    // never reads it, and the fused aggregate is the cascade's one serial
+    // stage — a per-stage probe (BENCH.md round 5) measured it at 29–54% of
+    // the high-parallelism wall while the independent pages scan+shuffle
+    // sat queued behind it. Overlapping the two costs the
+    // throughput-bound low level nothing and removes a pure serial floor
+    // everywhere the cluster has headroom.
+    var fused1m: Option[DataFrame] = None
+    def materializeFused(): Unit =
       if (withHistograms && salts == 1) {
         val f = TierRollup.fromObsWithHistogram(
           obsSrc, graft.model.Schemas.bucketLadder, 60L).persist()
         timed("raw->1m/hist_1m fused agg")(f.count())
-        Some(f)
-      } else None
+        fused1m = Some(f)
+      }
 
     def sumChain(): Seq[TierResult] = {
       val t1m = fused1m.map(TierRollup.tierColumns).getOrElse(
@@ -167,18 +176,32 @@ object TierCascade {
       Seq(TierResult("pages_1h", lakeP, newP))
     }
 
-    val chains: Seq[() => Seq[TierResult]] =
-      Seq(() => sumChain()) ++
-        (if (withHistograms) Seq(() => histChain()) else Nil) ++
-        (if (withPages) Seq(() => pagesChain()) else Nil)
+    def callable(c: () => Seq[TierResult]) =
+      new java.util.concurrent.Callable[Seq[TierResult]] {
+        def call(): Seq[TierResult] = c()
+      }
+    val nChains = 1 + (if (withHistograms) 1 else 0) + (if (withPages) 1 else 0)
     val results =
-      if (chains.size == 1) chains.head()
+      if (nChains == 1) { materializeFused(); sumChain() }
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
-        try chains.map(c => pool.submit(new java.util.concurrent.Callable[Seq[TierResult]] {
-          def call(): Seq[TierResult] = c()
-        })).flatMap(_.get())
-        finally pool.shutdown()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nChains)
+        try {
+          // pages FIRST (it reads raw, not the fused cache), THEN the fused
+          // materialize on the calling thread — the overlap removes the
+          // cascade's serial floor (see the fused-stage note above) —
+          // then the chains that consume the fused cache.
+          val pagesEarly =
+            if (withPages && pagesFirst) Some(pool.submit(callable(() => pagesChain())))
+            else None
+          materializeFused()
+          val pagesF = pagesEarly.orElse(
+            if (withPages) Some(pool.submit(callable(() => pagesChain()))) else None)
+          val sumF = pool.submit(callable(() => sumChain()))
+          val histF =
+            if (withHistograms) Some(pool.submit(callable(() => histChain()))) else None
+          sumF.get() ++ histF.map(_.get()).getOrElse(Nil) ++
+            pagesF.map(_.get()).getOrElse(Nil)
+        } finally pool.shutdown()
       }
 
     fused1m.foreach(_.unpersist(blocking = false))

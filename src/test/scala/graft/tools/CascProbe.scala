@@ -25,6 +25,9 @@ object CascProbe {
     val raw = if (args.length > 2) args(2) else "/tmp/graft_bench/raw_v2_n48000000"
     val codec = if (args.length > 3) args(3) else "lz4"
     val copart = args.length > 4 && args(4) == "copart"
+    // A/B hook: "latepages" restores the pre-overlap schedule (fused agg
+    // materialized before the pages chain is submitted)
+    val pagesFirst = !args.contains("latepages")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .appName(s"casc-probe-$cpus")
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
@@ -64,7 +67,7 @@ object CascProbe {
     deleteRec(new java.io.File(warmBase))
     TierCascade.run(spark, obs.limit(200000), warmBase, seriesBuckets = 8,
       salts = salts, withHistograms = true, withPages = true,
-      copartition = copart)
+      copartition = copart, pagesFirst = pagesFirst)
     deleteRec(new java.io.File(warmBase))
     val base = s"/dev/shm/casc-probe-$cpus-$salts"
     deleteRec(new java.io.File(base))
@@ -72,12 +75,13 @@ object CascProbe {
     val (b0, n0) = (wBytes.get, wNanos.get)
     val t0 = System.nanoTime()
     TierCascade.run(spark, obs, base, seriesBuckets = 8, salts = salts,
-      withHistograms = true, withPages = true, copartition = copart)
+      withHistograms = true, withPages = true, copartition = copart,
+      pagesFirst = pagesFirst)
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(150)
     val shMb = (wBytes.get - b0) / 1048576.0
     val shSec = (wNanos.get - n0) / 1e9
-    println(f"CASC_PROBE cpus=$cpus salts=$salts codec=$codec copart=$copart n=$n populate=$populateSec%.2f sec=$sec%.2f sh_w_mb=$shMb%.1f sh_w_sec=$shSec%.2f")
+    println(f"CASC_PROBE cpus=$cpus salts=$salts codec=$codec copart=$copart pagesFirst=$pagesFirst n=$n populate=$populateSec%.2f sec=$sec%.2f sh_w_mb=$shMb%.1f sh_w_sec=$shSec%.2f")
     deleteRec(new java.io.File(base))
     spark.stop()
   }
