@@ -97,9 +97,15 @@ object Bench {
     * after the full-round scheduler stops, the graded ops datapoint whose
     * median is still sub-bar (the worse one first when both are) gets a
     * reduced round running only it, while it has measured rounds left under
-    * the median's 3-round window. A datapoint with no measured round yet
-    * (med < 0) is not a targeted candidate — it needs a FULL round, which
-    * only the main scheduler can admit.
+    * the median's 3-round window. A datapoint standing on a SINGLE round is
+    * also a candidate even when its reading is healthy (round 5 — the r3/r4
+    * lesson generalized: a graded median should never stand on one round
+    * when leftover budget can buy a confirmation; at the 1→4 pairing the
+    * full-round scheduler can afford only one ops round, so the cheaper
+    * targeted shape is how the second reading arrives). minBy(median) keeps
+    * sub-bar datapoints ahead of healthy single-round ones. A datapoint with
+    * no measured round yet (med < 0) is not a targeted candidate — it needs
+    * a FULL round, which only the main scheduler can admit.
     */
   /** PURE budget price for admitting the NEXT cascade round (unit-tested).
     * Base price: the last round's wall minus its rerun shot (the rerun only
@@ -127,7 +133,7 @@ object Bench {
   private[graft] def targetedPick(asofMed: Double, mzMed: Double,
       asofRounds: Int, mzRounds: Int, maxRounds: Int): Option[String] = {
     val cands = Seq(("asof", asofMed, asofRounds), ("mz", mzMed, mzRounds))
-      .filter { case (_, m, k) => m >= 0 && m < 0.8 && k < maxRounds }
+      .filter { case (_, m, k) => m >= 0 && (m < 0.8 || k < 2) && k < maxRounds }
     if (cands.isEmpty) None else Some(cands.minBy(_._2)._1)
   }
 
@@ -937,7 +943,18 @@ object Bench {
     // reported efficiency. min-of-N per level compared two different
     // weather windows and swung ratios ±0.2 (round 3) to 5× (the r03
     // cascade record) between identical runs.
-    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8")
+    // Default pairing 1→4 (round 5 — was 2→8): the N→4N criterion permits
+    // any N, and on this single-socket 32-cpu box the hi=8 level sits in
+    // the shared memory-bandwidth/tmpfs saturation region the in-record
+    // controls keep measuring (mem control 0.63-0.86; Z4's 13-18x per-byte
+    // hi-level write collapse), so the 2→8 pairing prices the BOX, not the
+    // plan — the cascade's clean-weather 2→8 band (0.76-0.83) sat under a
+    // bar its own mem control failed. At 1→4 both levels stay well inside
+    // the socket's envelope — the honest analog of N→4N executors on a
+    // real cluster, where every added node brings its own memory bandwidth.
+    // Priced by a full-budget Bench run at 1,4 (BENCH.md run Z7): cascade
+    // 1.023, as-of 1.611, metricalize 0.995, controls 0.991/0.916.
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "1,4")
       .split(",").map(_.trim.toInt).toSeq
     val (loL, hiL) = (levels.head, levels.last)
     val ratio = hiL.toDouble / loL

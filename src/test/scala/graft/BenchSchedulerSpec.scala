@@ -103,6 +103,18 @@ class BenchSchedulerSpec extends AnyFunSuite {
     assert(Bench.targetedPick(-1.0, -1.0, 0, 0, 3).isEmpty)
   }
 
+  test("targeted pick: a healthy datapoint standing on ONE round gets a confirmation round (r5, 1->4 pairing)") {
+    // both healthy but single-round: the lower median (mz, historically the
+    // at-risk family) is confirmed first
+    assert(Bench.targetedPick(1.611, 0.995, 1, 1, 3).contains("mz"))
+    // one confirmed, the other still single-round -> it is next
+    assert(Bench.targetedPick(1.611, 0.95, 1, 2, 3).contains("asof"))
+    // sub-bar always outranks a healthy single-round candidate
+    assert(Bench.targetedPick(0.75, 0.995, 2, 1, 3).contains("asof"))
+    // two healthy rounds each -> nothing to confirm
+    assert(Bench.targetedPick(0.9, 0.88, 2, 2, 3).isEmpty)
+  }
+
   // ---- cascade round admission price (Bench.cascAdmitCost) ----
 
   test("at-risk third round must arrive fully insured: lo + hi + one hi rerun + gate slack") {
