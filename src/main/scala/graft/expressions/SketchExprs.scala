@@ -177,6 +177,246 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** Shared byte-level k-gram scanner for [[WordShingles]] /
+    * [[WordShingleHashes]] / [[SplitHashes]] (round 6 — guide §1.2 "per-task
+    * work": the interpreted HOF chain
+    * `array_distinct(transform(sequence(...), i -> concat_ws(slice(...))))`
+    * was the measured bulk of q27/q28's map stages, ~50µs per shingle of
+    * per-element lambda dispatch + slice/concat allocations). `split(text,
+    * " ")` splits on the literal single-space pattern keeping ALL empty
+    * tokens, and `concat_ws(" ", slice(words, i+1, k))` re-joins with the
+    * same separator — so every k-gram is exactly the byte span of the
+    * original string from word i's start to word i+k−1's end (a space byte,
+    * 0x20, never occurs inside a UTF-8 multibyte sequence). One pass finds
+    * the space offsets; shingles are byte spans; hashing is the same XXH64
+    * call `xxhash64(shingle)` lowers to. Parity with the HOF forms (kept in
+    * Dedup as `shinglesHof`/`shingleHashesHof`/`splitHashesHof`) is pinned
+    * bit-for-bit by SketchExprsSpec, including the null-text case ([""] —
+    * the `when` in the HOF form falls through to the otherwise branch) and
+    * empty/consecutive/trailing-space token edge cases.
+    */
+  private object ShingleScan {
+    val Seed = 42L // xxhash64's default seed (XxHash64 expression)
+
+    /** Offsets of word starts within `b` plus a sentinel end: word i spans
+      * [starts(i), starts(i+1)-1) — the -1 skips the separating space; the
+      * last word ends at b.length.
+      */
+    def wordStarts(b: Array[Byte]): Array[Int] = {
+      var spaces = 0
+      var i = 0
+      while (i < b.length) { if (b(i) == 0x20) spaces += 1; i += 1 }
+      val starts = new Array[Int](spaces + 2)
+      var w = 1
+      i = 0
+      while (i < b.length) {
+        if (b(i) == 0x20) { starts(w) = i + 1; w += 1 }
+        i += 1
+      }
+      starts(w) = b.length + 1 // sentinel: end(last) = starts(last+1)-1
+      starts
+    }
+
+    /** Distinct k-gram spans in first-occurrence order as (from, to) byte
+      * ranges; numWords < k collapses to the whole string (the HOF form's
+      * `otherwise` branch — rejoining all words is the identity).
+      */
+    def kgramSpans(b: Array[Byte], starts: Array[Int], k: Int): Array[Long] = {
+      val numWords = starts.length - 1
+      if (numWords < k) return Array(pack(0, b.length))
+      val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      val out = new Array[Long](numWords - k + 1)
+      var n = 0
+      var i = 0
+      while (i <= numWords - k) {
+        val from = starts(i)
+        val to = starts(i + k) - 1
+        val s = org.apache.spark.unsafe.types.UTF8String.fromAddress(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, to - from)
+        if (seen.add(s)) { out(n) = pack(from, to); n += 1 }
+        i += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    private def pack(from: Int, to: Int): Long = (from.toLong << 32) | to.toLong
+    def from(span: Long): Int = (span >>> 32).toInt
+    def to(span: Long): Int = span.toInt
+  }
+
+  /** Distinct k-word shingles as an array<string> — the codegen'd form of
+    * `Dedup.shinglesHof` (see [[ShingleScan]]). Null text yields [""] for
+    * bit-parity with the HOF form's fall-through.
+    */
+  case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"shingle k=$k must be >= 1")
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_shingles"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got ${other.catalogString}")
+    }
+
+    @transient private lazy val nullResult: ArrayData =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.EMPTY_UTF8))
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) nullResult else kernel(v.asInstanceOf[UTF8String])
+    }
+
+    def kernel(s: UTF8String): ArrayData = {
+      val b = s.getBytes
+      val starts = ShingleScan.wordStarts(b)
+      val spans = ShingleScan.kgramSpans(b, starts, k)
+      val out = new Array[Any](spans.length)
+      var i = 0
+      while (i < spans.length) {
+        val from = ShingleScan.from(spans(i))
+        out(i) = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(b, from, ShingleScan.to(spans(i))))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("graftShingles", this, classOf[WordShingles].getName)
+      val c = child.genCode(ctx)
+      ev.copy(code =
+        code"""
+          |${c.code}
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          |  ${c.isNull} ? $ref.nullArray() : $ref.kernel(${c.value});
+          """.stripMargin, isNull = FalseLiteral)
+    }
+
+    def nullArray(): ArrayData = nullResult
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
+  /** xxhash64 over each distinct k-word shingle — the codegen'd fusion of
+    * `transform(shingles(text, k), s -> xxhash64(s))` (see [[ShingleScan]];
+    * hashing uses the same XXH64/seed-42 call the XxHash64 expression
+    * lowers string inputs to, so every band key and bucket id is unchanged).
+    * Null text yields [xxhash64("")] for parity with the HOF fall-through.
+    */
+  case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"shingle k=$k must be >= 1")
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_shingle_hashes"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got ${other.catalogString}")
+    }
+
+    @transient private lazy val nullResult: ArrayData =
+      UnsafeArrayData.fromPrimitiveArray(Array(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          Array.emptyByteArray, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          0, ShingleScan.Seed)))
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) nullResult else kernel(v.asInstanceOf[UTF8String])
+    }
+
+    def kernel(s: UTF8String): ArrayData = {
+      val b = s.getBytes
+      val starts = ShingleScan.wordStarts(b)
+      val spans = ShingleScan.kgramSpans(b, starts, k)
+      val out = new Array[Long](spans.length)
+      var i = 0
+      while (i < spans.length) {
+        val from = ShingleScan.from(spans(i))
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          ShingleScan.to(spans(i)) - from, ShingleScan.Seed)
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("graftShingleHashes", this,
+        classOf[WordShingleHashes].getName)
+      val c = child.genCode(ctx)
+      ev.copy(code =
+        code"""
+          |${c.code}
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          |  ${c.isNull} ? $ref.nullArray() : $ref.kernel(${c.value});
+          """.stripMargin, isNull = FalseLiteral)
+    }
+
+    def nullArray(): ArrayData = nullResult
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+      copy(child = newChild)
+  }
+
+  /** xxhash64 per whitespace token, ALL tokens, no distinct — the codegen'd
+    * fusion of `transform(split(text, " "), w -> xxhash64(w))` feeding
+    * [[SimHashVotes]]. Null-safe like the HOF form (null text → null).
+    */
+  case class SplitHashes(child: Expression) extends UnaryExpression {
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_split_hashes"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got ${other.catalogString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = kernel(input.asInstanceOf[UTF8String])
+
+    def kernel(s: UTF8String): ArrayData = {
+      val b = s.getBytes
+      val starts = ShingleScan.wordStarts(b)
+      val numWords = starts.length - 1
+      val out = new Array[Long](numWords)
+      var i = 0
+      while (i < numWords) {
+        val from = starts(i)
+        val len = starts(i + 1) - 1 - from
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len,
+          ShingleScan.Seed)
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftSplitHashes", this, classOf[SplitHashes].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SplitHashes =
+      copy(child = newChild)
+  }
+
   /** Extract the long[] from a foldable array<bigint> literal (the SQL
     * surface's permutation-constant arguments).
     */

@@ -18,8 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** k-word shingles (default 3) as a string array column. */
-  def shingles(text: Column, k: Int = 3): Column = {
+  /** k-word shingles (default 3) as a string array column — the native
+    * codegen'd scan (expressions.SketchExprs.WordShingles; round 6): the
+    * interpreted HOF chain kept below as [[shinglesHof]] paid per-element
+    * lambda dispatch + slice/concat allocations (the measured bulk of
+    * q27/q28's map stages). Bit-parity pinned by SketchExprsSpec.
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SketchExprs.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), k))
+
+  /** The original HOF form of [[shingles]] — kept as the executable
+    * semantics REFERENCE the native expression is pinned against.
+    */
+  def shinglesHof(text: Column, k: Int = 3): Column = {
     val words = split(text, " ")
     when(size(words) >= k,
       array_distinct(transform(sequence(lit(0), size(words) - k),
@@ -27,9 +40,18 @@ object Dedup {
       .otherwise(array(concat_ws(" ", words))) // short docs: one shingle
   }
 
-  /** 64-bit hashes of the shingles. */
+  /** 64-bit hashes of the shingles — the fused native scan+hash
+    * (SketchExprs.WordShingleHashes; same XXH64/seed as `xxhash64`, so
+    * every band key is unchanged). HOF reference: [[shingleHashesHof]].
+    */
   def shingleHashes(text: Column, k: Int = 3): Column =
-    transform(shingles(text, k), s => xxhash64(s))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SketchExprs.WordShingleHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), k))
+
+  /** The original HOF form of [[shingleHashes]] — parity reference. */
+  def shingleHashesHof(text: Column, k: Int = 3): Column =
+    transform(shinglesHof(text, k), s => xxhash64(s))
 
   /** Deterministic multiply-add permutation constants (odd multipliers are
     * bijections on Z/2^64; universal-hashing MinHash, seed=42).
@@ -229,14 +251,21 @@ object Dedup {
     * ±1 votes from each token hash's bit i (Charikar, STOC'02).
     */
   def simhash64(text: Column): Column = {
-    // token hashing stays codegen'd Catalyst; the 64-bit vote loop is the
-    // native SketchExprs.SimHashVotes expression (round 4 — replaced the
-    // JVM UDF kept below, which paid a boxed Seq[Long] conversion per row)
-    val hashes = transform(split(text, " "), w => xxhash64(w))
+    // token hashing is the native SplitHashes scan (round 6 — the
+    // `transform(split(text, " "), w -> xxhash64(w))` HOF kept below as
+    // [[splitHashesHof]] was interpreted per element); the 64-bit vote loop
+    // is the native SketchExprs.SimHashVotes expression (round 4)
+    val hashes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SketchExprs.SplitHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.SketchExprs.SimHashVotes(
         org.apache.spark.sql.GraftColumnBridge.expression(hashes)))
   }
+
+  /** The original HOF token-hash form — parity reference for SplitHashes. */
+  def splitHashesHof(text: Column): Column =
+    transform(split(text, " "), w => xxhash64(w))
 
   /** The original UDF vote loop — the executable semantics reference
     * SketchExprsSpec pins [[simhash64]]'s native expression against.

@@ -159,6 +159,74 @@ class SketchExprsSpec extends AnyFunSuite {
     withFactoryMode("CODEGEN_ONLY") { assert(df.count() == 50) }
   }
 
+  /** Adversarial token shapes for the shingle scan: consecutive / leading /
+    * trailing spaces (empty tokens), short docs (< k words), repeated
+    * k-grams (the distinct cut), empty and multibyte text.
+    */
+  private val shingleCorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a b c a b c a b c a b c"), // heavy k-gram repetition
+    (3L, "one two"), // < k words
+    (4L, "solo"),
+    (5L, ""),
+    (6L, " leading and  double  spaces trailing "),
+    (7L, "häßlich übermütig ärgerlich κλασικό 中文 分词 测试 行"),
+    (8L, "x " * 200 + "x") // long doc
+  )
+
+  test("graft_shingles matches the HOF chain (codegen and interpreted, k=2,3)") {
+    val df = shingleCorpus.toDF("doc_id", "text")
+    for (k <- Seq(2, 3); mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN"))
+      withFactoryMode(mode) {
+        val rows = df.select(
+          Dedup.shingles(col("text"), k).as("native"),
+          Dedup.shinglesHof(col("text"), k).as("hof")).collect()
+        rows.foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"[$mode k=$k] $r")
+        }
+      }
+  }
+
+  test("graft_shingle_hashes matches transform(shingles, xxhash64) bit-for-bit") {
+    val df = shingleCorpus.toDF("doc_id", "text")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) withFactoryMode(mode) {
+      val rows = df.select(
+        Dedup.shingleHashes(col("text")).as("native"),
+        Dedup.shingleHashesHof(col("text")).as("hof")).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"[$mode] $r"))
+    }
+  }
+
+  test("graft_split_hashes matches transform(split, xxhash64) bit-for-bit") {
+    val df = shingleCorpus.toDF("doc_id", "text")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) withFactoryMode(mode) {
+      val rows = df.select(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          SketchExprs.SplitHashes(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+          .as("native"),
+        Dedup.splitHashesHof(col("text")).as("hof")).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"[$mode] $r"))
+    }
+  }
+
+  test("shingle scans: null text parity with the HOF fall-through") {
+    val df = spark.sql("SELECT cast(null as string) AS text")
+    val r = df.select(
+      Dedup.shingles(col("text")).as("ns"),
+      Dedup.shinglesHof(col("text")).as("hs"),
+      Dedup.shingleHashes(col("text")).as("nh"),
+      Dedup.shingleHashesHof(col("text")).as("hh"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        SketchExprs.SplitHashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")))).as("nsp"),
+      Dedup.splitHashesHof(col("text")).as("hsp")).head()
+    assert(r.getSeq[String](0) == Seq("")) // HOF: otherwise-branch concat_ws -> ""
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+    assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    assert(r.isNullAt(4) && r.isNullAt(5)) // transform(null) is null in both
+  }
+
   test("minhash banding end-to-end is unchanged by the swap (planted near-dups)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val docs = Seq(
