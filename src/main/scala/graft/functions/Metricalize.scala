@@ -82,6 +82,27 @@ object Metricalize {
     */
   private def withSharedExtracts(df: DataFrame, propsCol: String,
       specs: Seq[MetricSpec]): (DataFrame, String => Column) = {
+    val (base, ext, _) = withSharedExtractsAndKeys(df, propsCol, specs,
+      withKeys = false)
+    (base, ext)
+  }
+
+  /** [[withSharedExtracts]] plus, when `withKeys`, one shared SORTED
+    * tag-entry array (`skey`) alias per DISTINCT tagPaths set (round 6,
+    * guide §1.2 per-task work): the spec structs previously built a tags
+    * MAP per exploded row (`map_filter(map(...))`) that the replay re-sorted
+    * per exploded row (`array_sort(map_entries(...))`) — three interpreted
+    * higher-order functions per metric row. The skey is equivalent and
+    * codegen-only: tag keys are compile-time literals, so the entries are
+    * emitted in sorted-key order statically, and the null-tag cut
+    * (map_filter's predicate) is a per-entry conditional concat. Shared
+    * aliases sit in the same under-Generate projection as the JSON
+    * extracts, so each distinct tag set is computed once per INPUT row, not
+    * once per (spec, row).
+    */
+  private def withSharedExtractsAndKeys(df: DataFrame, propsCol: String,
+      specs: Seq[MetricSpec], withKeys: Boolean)
+      : (DataFrame, String => Column, Seq[(String, String)] => Column) = {
     val jsonPaths = specs.flatMap(sp => sp.valuePath +: sp.tagPaths.values.toSeq)
       .filterNot(_.startsWith("col:")).distinct
     // helper-column prefix checked against the input schema: a user frame
@@ -92,28 +113,46 @@ object Metricalize {
       case n => s"_graft_jx$n$n"
     }.find(p => !df.columns.exists(_.startsWith(p))).get
     val alias = jsonPaths.zipWithIndex.map { case (p, i) => p -> s"$prefix$i" }.toMap
-    val base =
+    val ext: String => Column = p =>
+      if (p.startsWith("col:")) col(p.stripPrefix("col:")).cast("string")
+      else col(alias(p))
+    val base1 =
       if (jsonPaths.isEmpty) df
       else df.select(col("*") +: jsonPaths.map(p =>
         get_json_object(col(propsCol), p).as(alias(p))): _*)
-    (base,
-      p =>
-        if (p.startsWith("col:")) col(p.stripPrefix("col:")).cast("string")
-        else col(alias(p)))
+    val entryType = "array<struct<key:string,value:string>>"
+    def skeyExpr(ts: Seq[(String, String)]): Column =
+      if (ts.isEmpty) array().cast(entryType)
+      else concat(ts.map { case (k, p) =>
+        val v = ext(p)
+        when(v.isNotNull, array(struct(lit(k).as("key"), v.as("value"))))
+          .otherwise(array().cast(entryType))
+      }: _*)
+    val tagSets: Seq[Seq[(String, String)]] =
+      if (withKeys) specs.map(_.tagPaths.toSeq.sortBy(_._1)).distinct else Nil
+    val skAlias = tagSets.zipWithIndex.map { case (ts, i) => ts -> s"${prefix}_sk$i" }.toMap
+    val base =
+      if (tagSets.isEmpty) base1
+      else base1.select(col("*") +: tagSets.map(ts =>
+        skeyExpr(ts).as(skAlias(ts))): _*)
+    (base, ext, ts => col(skAlias(ts.sortBy(_._1))))
   }
 
-  /** Per-spec extraction structs off ONE scan: name, tags, kind id, v,
-    * packed ord, spec index. Kinds travel as INTEGER ids (index into the
-    * static distinct-kind list) so every downstream aggregation buffer is a
-    * mutable primitive and the whole replay stays HashAggregate — string
-    * min_by/max_by buffers would demote the aggregations to SortAggregate.
-    * The packed ord (event ord × #specs + spec position) replays one event's
-    * specs in config order; packing is guarded against Long overflow (the
-    * tier layer guards its packed ranges the same way, TierRollup.fromObs).
-    * `extract` resolves a spec path to a column ([[withSharedExtracts]]).
+  /** Per-spec extraction structs off ONE scan: name, skey (sorted tag
+    * entries — the series key), kind id, v, packed ord, spec index. Kinds
+    * travel as INTEGER ids (index into the static distinct-kind list) so
+    * every downstream aggregation buffer is a mutable primitive and the
+    * whole replay stays HashAggregate — string min_by/max_by buffers would
+    * demote the aggregations to SortAggregate. The skey rides the struct
+    * directly (round 6): it references the shared per-distinct-tag-set
+    * alias [[withSharedExtractsAndKeys]] computes once per INPUT row, so no
+    * per-exploded-row map building or re-sorting remains. The packed ord
+    * (event ord × #specs + spec position) replays one event's specs in
+    * config order; packing is guarded against Long overflow (the tier layer
+    * guards its packed ranges the same way, TierRollup.fromObs).
     */
   private def specStructs(extract: String => Column, specs: Seq[MetricSpec], ordCol: Column,
-      kinds: Seq[String]): Seq[Column] = {
+      kinds: Seq[String], skeyOf: Seq[(String, String)] => Column): Seq[Column] = {
     val maxOrd = Long.MaxValue / specs.length
     val ordL = ordCol.cast("long")
     specs.zipWithIndex.map { case (sp, i) =>
@@ -122,20 +161,13 @@ object Metricalize {
         if (sp.kind == "counter" && !sp.incrementByValue)
           when(raw.isNotNull, lit(1.0)).otherwise(lit(null).cast("double"))
         else raw.cast("double")
-      val tags =
-        if (sp.tagPaths.isEmpty) map().cast("map<string,string>")
-        else map_filter(
-          map(sp.tagPaths.toSeq.sortBy(_._1).flatMap { case (k, p) =>
-            Seq(lit(k), extract(p))
-          }: _*),
-          (_, tv) => tv.isNotNull)
       val packed = when(ordL >= 0L && ordL < maxOrd, ordL * specs.length + i)
         .otherwise(raise_error(concat(
           lit(s"metricalize ord out of packed range [0, $maxOrd): "),
           ordL.cast("string"))).cast("long"))
       struct(
         lit(sp.name).as("name"),
-        tags.as("tags"),
+        skeyOf(sp.tagPaths.toSeq).as("skey"),
         lit(kinds.indexOf(sp.kind)).as("kind"),
         v.as("v"),
         packed.as("ord"),
@@ -191,34 +223,41 @@ object Metricalize {
     val ladder = unionLadder(specs)
     val kinds = specs.map(_.kind).distinct.sorted
 
-    val (base, ext) = withSharedExtracts(df, propsCol, specs)
-    val perSpec = base
-      .select(explode(array(specStructs(ext, specs, ordCol, kinds): _*)).as("_m"))
-      .select(col("_m.name").as("name"), col("_m.tags").as("tags"),
+    val (base, ext, skeyOf) = withSharedExtractsAndKeys(df, propsCol, specs,
+      withKeys = true)
+    // series key rides the struct as the SORTED tag-entry array (maps aren't
+    // groupable; arrays are, both as hash keys and as shuffle keys) —
+    // injective with no escaping, and the tags map rebuilds from it at the
+    // end, so no map-typed first() aggregate survives to demote the hash
+    // aggregation
+    val keyed = base
+      .select(explode(array(specStructs(ext, specs, ordCol, kinds, skeyOf): _*)).as("_m"))
+      .select(col("_m.name").as("name"), col("_m.skey").as("skey"),
         col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"),
         col("_m.sidx").as("sidx"))
       .filter(col("v").isNotNull) // missing value = dropped row (counted failure)
 
-    // series key: the SORTED map-entries array (maps aren't groupable;
-    // arrays are, both as hash keys and as shuffle keys) — injective with no
-    // escaping, and the tags map rebuilds from it at the end, so no map-typed
-    // first() aggregate survives to demote the hash aggregation
-    val keyed = perSpec
-      .withColumn("skey", array_sort(map_entries(col("tags"))))
-      .drop("tags")
-
     // ---- kind-replay, chunked over the ord space ----
-    // chunk width from the observed ord span (one tiny map-side reduce),
-    // unless the caller supplied the raw-ord bounds — packed bounds follow
-    // from the packing (rawLo*n+0 .. rawHi*n+(n-1)); caller bounds may be a
-    // subset of the data, so the chunk id clamps into [0, maxChunk]
+    // chunk width from the RAW ord span unless the caller supplied bounds —
+    // packed bounds follow from the packing (rawLo*n+0 .. rawHi*n+(n-1)).
+    // The round-5 shape reduced min/max over the POST-extraction frame,
+    // which re-ran the whole JSON-extract + explode pipeline as a separate
+    // blocking job just for two longs (a measured ~25% of q39's wall); the
+    // raw ordCol min/max is a narrow column-pruned scan of the source and
+    // its span is a superset of the surviving rows' — chunk boundaries may
+    // shift, which only redistributes replay parallelism, never results
+    // (the replay is chunking-invariant; MetricalizeSpec pins it across
+    // chunk counts). Caller bounds may be a subset, so the chunk id clamps
+    // into [0, maxChunk].
     val Array(lo, hi) = ordBounds match {
       case Some((l, h)) =>
         require(h >= l, s"ordBounds [$l, $h] inverted")
         Array(l * specs.length, h * specs.length + (specs.length - 1))
       case None =>
-        val r = keyed.agg(min(col("ord")), max(col("ord"))).head()
-        if (r.isNullAt(0)) Array(0L, 0L) else Array(r.getLong(0), r.getLong(1))
+        val r = df.agg(min(ordCol.cast("long")), max(ordCol.cast("long"))).head()
+        if (r.isNullAt(0)) Array(0L, 0L)
+        else Array(r.getLong(0) * specs.length,
+          r.getLong(1) * specs.length + (specs.length - 1))
     }
     val chunkW = math.max(1L, (hi - lo) / numChunks + 1)
     val chunked = keyed.withColumn("_chunk",
@@ -359,16 +398,17 @@ object Metricalize {
     require(specs.nonEmpty, "at least one MetricSpec")
     val ladder = unionLadder(specs)
     val kinds = specs.map(_.kind).distinct.sorted
-    val (base, ext) = withSharedExtracts(df, propsCol, specs)
+    val (base, ext, skeyOf) = withSharedExtractsAndKeys(df, propsCol, specs,
+      withKeys = true)
     base
       .withColumn("_ts", col(tsCol))
       .withWatermark("_ts", watermark)
-      .select(col("_ts"), explode(array(specStructs(ext, specs, ordCol, kinds): _*)).as("_m"))
-      .select(col("_ts"), col("_m.name").as("name"), col("_m.tags").as("tags"),
+      .select(col("_ts"),
+        explode(array(specStructs(ext, specs, ordCol, kinds, skeyOf): _*)).as("_m"))
+      .select(col("_ts"), col("_m.name").as("name"), col("_m.skey").as("skey"),
         col("_m.kind").as("kind"), col("_m.v").as("v"), col("_m.ord").as("ord"),
         col("_m.sidx").as("sidx"))
       .filter(col("v").isNotNull)
-      .withColumn("skey", array_sort(map_entries(col("tags"))))
       .groupBy(window(col("_ts"), s"$bucketSec seconds").as("w"),
         col("name"), col("skey"), col("kind"))
       .agg(
@@ -441,18 +481,19 @@ object Metricalize {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-    val (base, ext) = withSharedExtracts(df, propsCol, specs)
+    val (base, ext, skeyOf) = withSharedExtractsAndKeys(df, propsCol, specs,
+      withKeys = true)
     val prepared = base
       .withColumn("_ts", col(tsCol))
       .withWatermark("_ts", watermark)
       .select(col("_ts"),
-        explode(array(specStructs(ext, specs, ordCol, kinds): _*)).as("_m"))
+        explode(array(specStructs(ext, specs, ordCol, kinds, skeyOf): _*)).as("_m"))
       .select(
         col("_ts").as("ts"),
         (floor(unix_timestamp(col("_ts")) / bucketSec) * bucketSec)
           .cast("long").as("bucket"),
         col("_m.name").as("name"),
-        array_sort(map_entries(col("_m.tags"))).as("skey"),
+        col("_m.skey").as("skey"),
         col("_m.kind").as("kind"), col("_m.v").as("v"),
         col("_m.ord").as("ord"), col("_m.sidx").as("sidx"))
       .filter(col("v").isNotNull)
