@@ -46,6 +46,27 @@ object Pack {
     case x => x
   }
 
+  /** SCALE-ADAPTIVE partition count for the phase-2 repartitions (round 6,
+    * guide §2: "size partitions from the input, not a constant"): the
+    * shuffle-partitions conf is a cluster-wide constant (cpus×4 in the
+    * bench session) that hash-repartitioned 500-row local frames into 128
+    * near-empty tasks — pure scheduling overhead the AQE coalescer never
+    * sees (these are RDD-boundary repartitions, below AQE's reach). The
+    * input scan's own partition count IS the size-derived signal (parquet
+    * splits are bytes-bounded by `spark.sql.files.maxPartitionBytes`), so
+    * cap the constant by it: a 100 TB scan still gets the full
+    * shuffle-partitions fan-out, a one-split local table gets one task.
+    * Callers whose input is already shuffle-shaped (its partition count is
+    * the conf value) see exactly the old behavior; callers with exotic
+    * inputs can always pin `numParts`.
+    */
+  private def derivedParts(df: DataFrame, numParts: Int): Int =
+    if (numParts > 0) numParts
+    else {
+      val conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      math.max(1, math.min(conf, df.rdd.getNumPartitions))
+    }
+
   /** Deterministic 60-bit rank from the md5 hex prefix — the shared shuffle/
     * mixing order key. Every Spark site must stay bit-identical to its
     * DuckDB twin `('0x' || substr(md5(x), 1, 15))::BIGINT`; keep the idiom
@@ -84,9 +105,7 @@ object Pack {
     val reserved = Seq("_pk_bucket", "_pk_off", "_pk_b", "_pk_g", outCol)
     require(!reserved.exists(df.columns.contains),
       s"input must not already carry any of ${reserved.mkString("/")}")
-    val parts =
-      if (numParts > 0) numParts
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = derivedParts(df, numParts)
     // ~4 buckets per partition smooths the hash→partition collision spread
     val nBuckets = parts * 4
 
@@ -278,11 +297,8 @@ object Pack {
       orderBounds: Option[(Long, Long)] = None,
       tieCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
-    val spark = docs.sparkSession
     val b = lit(budget)
-    val parts =
-      if (numParts > 0) numParts
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = derivedParts(docs, numParts)
 
     // working names (_pk_ntok/seq_id/_s0/_s1/_part) may collide with input
     // PASSENGER columns: withColumn replaces them and the fixed output
