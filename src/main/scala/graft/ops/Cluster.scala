@@ -55,26 +55,32 @@ object Cluster {
       .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
       .distinct()
 
+    // per-node neighborhood minimum as ONE window over the star key (round
+    // 6): the groupBy(min) + equi-join-back form shuffled the edge frame
+    // TWICE per half-round (once into the aggregate, once into the join);
+    // the window computes the same m(u) with a single exchange. Skew is
+    // unchanged — the join also colocated every edge of a hot node on one
+    // partition — and the window partitions by the full-cardinality node
+    // key, never globally (the GlobalWindowSpec guard covers q59).
+    val wNode = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+
     // large-star: every node u links its LARGER neighbors to m(u) = min(Γ⁺(u))
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("s"), col("d"))
+    def largeStar(e: DataFrame): DataFrame =
+      e.select(col("s"), col("d"))
         .union(e.select(col("d").as("s"), col("s").as("d")))
-      val mins = sym.groupBy("s").agg(min(col("d")).as("mn"))
-      sym.join(mins, "s")
+        .withColumn("mn", min(col("d")).over(wNode))
         .where(col("d") > col("s"))
         .select(col("d").as("s"), least(col("s"), col("mn")).as("d"))
         .where(col("s") =!= col("d"))
         .distinct()
-    }
 
     // small-star: every node u links its smaller neighbors AND itself to
     // m(u) = min of those neighbors (all < u after orienting large→small)
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest(col("s"), col("d")).as("s"),
+    def smallStar(e: DataFrame): DataFrame =
+      e.select(greatest(col("s"), col("d")).as("s"),
         least(col("s"), col("d")).as("d"))
-      val mins = dir.groupBy("s").agg(min(col("d")).as("mn"))
-      dir.join(mins, "s")
-        // one pass over the join output (no self-union → no double compute):
+        .withColumn("mn", min(col("d")).over(wNode))
+        // one pass (no self-union → no double compute):
         // (u, m) re-links u itself; (v, m) re-links each smaller neighbor
         .select(explode(array(
           struct(col("s").as("s"), col("mn").as("d")),
@@ -82,7 +88,6 @@ object Cluster {
         .select(col("e.s").as("s"), col("e.d").as("d"))
         .where(col("s") =!= col("d"))
         .distinct()
-    }
 
     // (row count, hash xor) — one small aggregate; equality on consecutive
     // rounds is the fixpoint test. bit_xor never overflows (ANSI-safe) and is
@@ -103,7 +108,13 @@ object Cluster {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = truncate(smallStar(truncate(largeStar(edges))))
+      // ONE materialization per round (round 6): the large-star and
+      // small-star halves compose into a single ~6-shuffle plan cut once at
+      // the round boundary — the inner checkpoint bought nothing (the round
+      // plan is shallow and bounded) and cost a full extra materialize +
+      // re-read per round, half of the operator's fixed job count at
+      // convergence-sized frames. Lineage still never crosses a round.
+      val next = truncate(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
