@@ -529,6 +529,15 @@ object MoreQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** n planted clones of the (single-row) query frame at ids 10⁷+1..n as ONE
+    * explode branch (round 6) — the per-id `withColumn(lit).union` chain
+    * scanned and planned the q0 filter once per clone; same row multiset.
+    */
+  private def cloneIds(q0: DataFrame, n: Int): DataFrame =
+    q0.select(explode(sequence(lit(1L), lit(n.toLong))).as("_i"), col("*"))
+      .withColumn("vec_id", lit(10000000L) + col("_i"))
+      .drop("_i")
+
   /** q62: ANN LSH probe retrieval, provable slice: 5 exact clones of the
     * query vector (vec_id 0) are planted at ids 10⁷+1..5; an identical vector
     * has an identical hyperplane-sign bucket, so the single-probe search MUST
@@ -541,8 +550,7 @@ object MoreQueries {
   def annLshClones(s: SparkSession, dir: String): DataFrame = {
     val e = DocQueries.embeddings(s, dir)
     val q0 = e.filter(col("vec_id") === 0L)
-    val clones = (1 to 5).map(i =>
-      q0.withColumn("vec_id", lit(10000000L + i))).reduce(_ unionByName _)
+    val clones = cloneIds(q0, 5)
     val u = e.unionByName(clones)
     val hits = Similarity.lshTopK(u, "vec_id", "embedding", queryId = 0L, k = 16)
     hits.join(u.select(col("vec_id"), col("embedding")), "vec_id")
@@ -564,8 +572,7 @@ object MoreQueries {
   def annMultiProbeClones(s: SparkSession, dir: String): DataFrame = {
     val e = DocQueries.embeddings(s, dir)
     val q0 = e.filter(col("vec_id") === 0L)
-    val clones = (1 to 5).map(i =>
-      q0.withColumn("vec_id", lit(10000000L + i))).reduce(_ unionByName _)
+    val clones = cloneIds(q0, 5)
     val u = e.unionByName(clones)
     (0 to 2).map { h =>
       Similarity.lshTopKMultiProbe(u, "vec_id", "embedding", queryId = 0L,
