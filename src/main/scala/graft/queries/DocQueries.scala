@@ -772,7 +772,13 @@ object DocQueries {
     val benchRdd = benchPlan.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = s.createDataFrame(benchRdd, benchPlan.schema)
-    val bloom = bench.stat.bloomFilter("g", expectedNumItems = 200000L, fpp = 0.001)
+    // Bloom sized from the DATA (round 6 — the round-5 constant 200k would
+    // silently degrade fpp once the benchmark-gram count outgrew it at
+    // larger SFs; still correct — the exact join cleans up — but the
+    // prefilter's ~1/fpp cut erodes). The count runs over the already
+    // persisted RDD, so the extra action is a cached scan, not a re-derive.
+    val nGrams = math.max(1L, benchRdd.count())
+    val bloom = bench.stat.bloomFilter("g", expectedNumItems = nGrams, fpp = 0.001)
     val bcBloom = s.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => g != null && bcBloom.value.mightContainString(g))
     docs.filter(size(col("toks")) >= 8)

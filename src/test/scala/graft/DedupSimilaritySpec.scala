@@ -559,6 +559,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cross product in IVF plan:\n$plan")
   }
 
+  test("data-sized Bloom prefilter holds its configured fpp at sf0.1-scale gram counts") {
+    // q78's filter is sized from the counted benchmark-gram RDD (round 6 —
+    // the round-5 constant 200k would silently degrade fpp past it). At any
+    // gram count, sizing expectedNumItems = count must keep the realized
+    // false-positive rate within ~2x of the configured 0.001 (the sbbf bound
+    // is probabilistic; 2x covers the variance at this probe size).
+    import spark.implicits._
+    val n = 50000L
+    val grams = (0L until n).map(i => s"gram_$i").toDF("g")
+    val bloom = grams.stat.bloomFilter("g", expectedNumItems = n, fpp = 0.001)
+    val falsePos = (0 until 100000)
+      .count(i => bloom.mightContainString(s"absent_$i"))
+    assert(falsePos <= 200, s"fpp ${falsePos / 100000.0} exceeds 2x configured 0.001")
+    (0L until n by 997L).foreach(i =>
+      assert(bloom.mightContainString(s"gram_$i"), "bloom lost a member"))
+  }
+
   test("spherical k-means refine does not degrade the cosine objective") {
     val seed = Similarity.ivfSeedCentroids(embeddings, "vec_id", "embedding", 16)
     val refined = Similarity.ivfRefine(embeddings, "vec_id", "embedding", seed)
