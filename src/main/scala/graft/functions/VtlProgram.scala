@@ -113,32 +113,96 @@ object VtlProgram {
       }
 
     case ForKV(target, iter, body) =>
-      val sorted = array_sort(map_entries(iter(env))) // BTreeMap key order
-      val prefixed = body.breakWhen match {
-        case None => sorted
-        case Some(bw) =>
-          val flags = transform(sorted, e => bw(e("key"), e("value")))
-          val pos = array_position(flags, true) // 0 when it never fires
-          slice(sorted, lit(1), when(pos === 0, size(sorted)).otherwise(pos - 1))
+      val iterCol = iter(env)
+      staticEntries(iterCol) match {
+        case Some(kvs) => set(env, target, lowerForKVStatic(kvs, body))
+        case None => set(env, target, lowerForKVDynamic(iterCol, body))
       }
-      val kept = body.continueWhen match {
-        case None => prefixed
-        // coalesce(…, false): a NULL continue-predicate must KEEP the entry
-        // (vtl's `if cond { continue }` does not fire on null/falsy), and a
-        // bare !cw would evaluate to NULL, which filter() drops — the same
-        // falsy rule breakWhen already gets for free (array_position skips
-        // nulls) and Topology.Route applies to its port predicates
-        case Some(cw) =>
-          filter(prefixed, e => !coalesce(cw(e("key"), e("value")), lit(false)))
-      }
-      val out = map_from_entries(transform(kept, e =>
-        struct(body.yieldKey(e("key"), e("value")).as("key"),
-          body.yieldValue(e("key"), e("value")).as("value"))))
-      set(env, target, out)
 
     case r: Return =>
       throw new IllegalArgumentException(
         s"return must be the program's final statement, found mid-block: $r")
+  }
+
+  /** The map literal's (key, value) pairs when the loop target is a
+    * compile-time CreateMap with foldable, distinct, non-null string keys —
+    * the vtl map-literal idiom. Anything else (map columns, map_concat,
+    * empty maps) keeps the general dynamic lowering.
+    */
+  private def staticEntries(c: Column): Option[Seq[(String, Column)]] = {
+    import org.apache.spark.sql.catalyst.expressions.CreateMap
+    org.apache.spark.sql.GraftColumnBridge.expression(c) match {
+      case cm: CreateMap
+          if cm.keys.nonEmpty &&
+            cm.keys.forall(k => k.foldable &&
+              k.dataType == org.apache.spark.sql.types.StringType) =>
+        val keys = cm.keys.map(_.eval())
+        if (keys.contains(null) || keys.distinct.size != keys.size) None
+        else Some(keys.map(_.toString).zip(
+          cm.values.map(org.apache.spark.sql.GraftColumnBridge.column)))
+      case _ => None
+    }
+  }
+
+  /** Compile-time ForKV lowering (round 6 — the vtl compiler's own
+    * constant-folding idea, lib/vtl/src/compiler/binary.rs:130-170, applied
+    * to the loop): with literal keys the BTreeMap iteration order is known
+    * at COMPILE time, so the sort happens here (UTF8String binary order —
+    * identical to array_sort's struct comparison on distinct keys), the
+    * break prefix is a running OR over the ordered entries, and the
+    * continue cut is a per-entry conditional — every remaining expression
+    * is codegen-friendly (`when`/`concat`/`map_from_entries`), replacing
+    * the four interpreted higher-order functions of the dynamic form
+    * (array_sort, transform×2, filter). Kept-entry list and the final
+    * map_from_entries (including its duplicate-key behavior) are identical
+    * to the dynamic lowering — VtlProgramSpec pins the parity.
+    */
+  private def lowerForKVStatic(kvs: Seq[(String, Column)], body: ForBody): Column = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sorted = kvs.sortWith { case ((a, _), (b, _)) =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    }
+    var brk: Column = lit(false)
+    val parts = sorted.map { case (k, v) =>
+      val kC = lit(k)
+      body.breakWhen.foreach(bw => brk = brk || coalesce(bw(kC, v), lit(false)))
+      val keep = body.continueWhen match {
+        case Some(cw) => !brk && !coalesce(cw(kC, v), lit(false))
+        case None => !brk
+      }
+      val entry = array(struct(body.yieldKey(kC, v).as("key"),
+        body.yieldValue(kC, v).as("value")))
+      // the empty branch is a 0-slice of the SAME entry array, so both
+      // branches share the yield expressions' exact types — no cast that
+      // would pin the loop to string-valued yields
+      when(keep, entry).otherwise(slice(entry, lit(1), lit(0)))
+    }
+    map_from_entries(concat(parts: _*))
+  }
+
+  /** The general (runtime-map) ForKV lowering — unchanged round-5 shape. */
+  private def lowerForKVDynamic(iterCol: Column, body: ForBody): Column = {
+    val sorted = array_sort(map_entries(iterCol)) // BTreeMap key order
+    val prefixed = body.breakWhen match {
+      case None => sorted
+      case Some(bw) =>
+        val flags = transform(sorted, e => bw(e("key"), e("value")))
+        val pos = array_position(flags, true) // 0 when it never fires
+        slice(sorted, lit(1), when(pos === 0, size(sorted)).otherwise(pos - 1))
+    }
+    val kept = body.continueWhen match {
+      case None => prefixed
+      // coalesce(…, false): a NULL continue-predicate must KEEP the entry
+      // (vtl's `if cond { continue }` does not fire on null/falsy), and a
+      // bare !cw would evaluate to NULL, which filter() drops — the same
+      // falsy rule breakWhen already gets for free (array_position skips
+      // nulls) and Topology.Route applies to its port predicates
+      case Some(cw) =>
+        filter(prefixed, e => !coalesce(cw(e("key"), e("value")), lit(false)))
+    }
+    map_from_entries(transform(kept, e =>
+      struct(body.yieldKey(e("key"), e("value")).as("key"),
+        body.yieldValue(e("key"), e("value")).as("value"))))
   }
 
   /** Compile and apply a program: one `select` (one Project node) over df. */

@@ -111,6 +111,54 @@ class VtlProgramSpec extends AnyFunSuite {
     assert(all.select("n").as[Int].head() == 4)
   }
 
+  test("static (literal-map) ForKV lowering agrees with the dynamic lowering") {
+    // the SAME loop over the SAME entries, once as a map literal assigned in
+    // the program (compile-time CreateMap -> static lowering) and once
+    // wrapped in map_concat (not a CreateMap -> dynamic lowering). Break,
+    // continue, a NULL predicate and a null value all in play; outputs must
+    // agree row-for-row.
+    val df = Seq((1, "B", 60.0), (2, "x", 10.0), (3, null, 200.0))
+      .toDF("id", "s", "v")
+    def mapOf(env: Env) = map(
+      lit("c"), ref(env, "s"),
+      lit("tmp_k"), lit("drop"),
+      lit("a"), ref(env, "v").cast("string"),
+      lit("stop"), lit("z"),
+      lit("b"), upper(ref(env, "s")))
+    val body = ForBody(
+      continueWhen = Some((k, _) => k.startsWith("tmp_")),
+      breakWhen = Some((_, v) => v > "y"), // NULL for null values
+      yieldKey = (k, v) => concat(k, lit(":"), coalesce(v, lit("-"))),
+      yieldValue = (_, v) => coalesce(upper(v), lit("NULL")))
+    def render(env: Env) = array_join(transform(
+      array_sort(map_entries(ref(env, "m"))),
+      e => concat(e("key"), lit("="), e("value"))), ",")
+    val stat = VtlProgram.compile(df, Seq(
+      Assign("m", mapOf), ForKV("m", env => ref(env, "m"), body),
+      Assign("r", render), Return(Seq("id", "r"))))
+    val dyn = VtlProgram.compile(df, Seq(
+      Assign("m", env => map_concat(mapOf(env), map())),
+      ForKV("m", env => ref(env, "m"), body),
+      Assign("r", render), Return(Seq("id", "r"))))
+    val a = stat.orderBy("id").as[(Int, String)].collect().toSeq
+    val b = dyn.orderBy("id").as[(Int, String)].collect().toSeq
+    assert(a == b, s"static $a vs dynamic $b")
+    // and the q80-shaped no-break loop
+    val body2 = ForBody(
+      continueWhen = Some((k, _) => k.startsWith("tmp_")),
+      yieldKey = (k, _) => concat(lit("t_"), k),
+      yieldValue = (_, v) => coalesce(upper(v), lit("-")))
+    val s2 = VtlProgram.compile(df, Seq(
+      Assign("m", mapOf), ForKV("m", env => ref(env, "m"), body2),
+      Assign("r", render), Return(Seq("id", "r"))))
+    val d2 = VtlProgram.compile(df, Seq(
+      Assign("m", env => map_concat(mapOf(env), map())),
+      ForKV("m", env => ref(env, "m"), body2),
+      Assign("r", render), Return(Seq("id", "r"))))
+    assert(s2.orderBy("id").as[(Int, String)].collect().toSeq ==
+      d2.orderBy("id").as[(Int, String)].collect().toSeq)
+  }
+
   test("return selects fields; mid-block return rejected; empty program rejected") {
     val out = VtlProgram.compile(base, Seq(
       Assign("dbl", env => ref(env, "v") * 2),
