@@ -220,13 +220,18 @@ object TagQueries {
     val url = concat(lit("https://h"), pmod(col("user_id"), lit(5)),
       lit(".example.com:8080/ev/"), col("event_type"),
       lit("?k="), k, lit("&t="), col("event_type"))
-    val u = Vtl.parseUrl(url)
-    val q = Vtl.parseQuery(element_at(u, "query"))
-    e.select(
-      element_at(u, "host").as("host"),
-      element_at(u, "path").as("path"),
-      element_at(u, "port").as("port"),
-      element_at(q, "k")(0).cast("long").as("kq"))
+    // the parsed maps ride NAMED aliases referenced multiple times, so
+    // CollapseProject cannot inline the UDF subtree into each element_at —
+    // the inline form evaluated parseUrl once per extracted component
+    // (round 6; the guide §4.4 duplication class, fixed structurally
+    // instead of via asNondeterministic)
+    e.withColumn("_u", Vtl.parseUrl(url))
+      .withColumn("_q", Vtl.parseQuery(element_at(col("_u"), "query")))
+      .select(
+        element_at(col("_u"), "host").as("host"),
+        element_at(col("_u"), "path").as("path"),
+        element_at(col("_u"), "port").as("port"),
+        element_at(col("_q"), "k")(0).cast("long").as("kq"))
       .groupBy(col("host"), col("path"))
       .agg(count(lit(1)).as("cnt"), sum(col("kq")).as("k_sum"),
         max(col("port")).as("port"))
