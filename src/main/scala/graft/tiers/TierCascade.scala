@@ -116,16 +116,19 @@ object TierCascade {
     // sat queued behind it. Overlapping the two costs the
     // throughput-bound low level nothing and removes a pure serial floor
     // everywhere the cluster has headroom.
-    var fused1m: Option[DataFrame] = None
-    def materializeFused(): Unit =
+    // the fused frame is RETURNED and passed into the consuming chains as a
+    // parameter (round 6, ADVICE fix): the previous `var fused1m` was
+    // written on the calling thread and read from pool threads, safe only
+    // via the implicit submission-order invariant — structural now.
+    def materializeFused(): Option[DataFrame] =
       if (withHistograms && salts == 1) {
         val f = TierRollup.fromObsWithHistogram(
           obsSrc, graft.model.Schemas.bucketLadder, 60L).persist()
         timed("raw->1m/hist_1m fused agg")(f.count())
-        fused1m = Some(f)
-      }
+        Some(f)
+      } else None
 
-    def sumChain(): Seq[TierResult] = {
+    def sumChain(fused1m: Option[DataFrame]): Seq[TierResult] = {
       val t1m = fused1m.map(TierRollup.tierColumns).getOrElse(
         if (salts > 1) TierRollup.fromObsSalted(obsIn, 60L, salts)
         else TierRollup.fromObs(obsSrc, 60L))
@@ -146,7 +149,7 @@ object TierCascade {
         TierResult("1d", lake1d, new1d))
     }
 
-    def histChain(): Seq[TierResult] = {
+    def histChain(fused1m: Option[DataFrame]): Seq[TierResult] = {
       val ladder = graft.model.Schemas.bucketLadder
       val lakeH1m = new LakeTable(spark, basePath, "hist_1m", "pk")
       val h1m = fused1m.map(TierRollup.histColumns)
@@ -181,33 +184,52 @@ object TierCascade {
         def call(): Seq[TierResult] = c()
       }
     val nChains = 1 + (if (withHistograms) 1 else 0) + (if (withPages) 1 else 0)
-    val results =
-      if (nChains == 1) { materializeFused(); sumChain() }
+    var fusedOpt: Option[DataFrame] = None
+    try {
+      if (nChains == 1) { fusedOpt = materializeFused(); sumChain(fusedOpt) }
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(nChains)
+        val submitted =
+          scala.collection.mutable.Buffer.empty[java.util.concurrent.Future[Seq[TierResult]]]
+        def submit(c: () => Seq[TierResult]) = {
+          val f = pool.submit(callable(c)); submitted += f; f
+        }
         try {
           // pages FIRST (it reads raw, not the fused cache), THEN the fused
           // materialize on the calling thread — the overlap removes the
           // cascade's serial floor (see the fused-stage note above) —
           // then the chains that consume the fused cache.
           val pagesEarly =
-            if (withPages && pagesFirst) Some(pool.submit(callable(() => pagesChain())))
+            if (withPages && pagesFirst) Some(submit(() => pagesChain()))
             else None
-          materializeFused()
+          fusedOpt = materializeFused()
+          val fused = fusedOpt
           val pagesF = pagesEarly.orElse(
-            if (withPages) Some(pool.submit(callable(() => pagesChain()))) else None)
-          val sumF = pool.submit(callable(() => sumChain()))
+            if (withPages) Some(submit(() => pagesChain())) else None)
+          val sumF = submit(() => sumChain(fused))
           val histF =
-            if (withHistograms) Some(pool.submit(callable(() => histChain()))) else None
+            if (withHistograms) Some(submit(() => histChain(fused))) else None
           sumF.get() ++ histF.map(_.get()).getOrElse(Nil) ++
             pagesF.map(_.get()).getOrElse(Nil)
+        } catch {
+          // a failure on the calling thread (e.g. the fused materialize) or
+          // in one chain must not abandon in-flight sibling futures: cancel
+          // what hasn't started, drain what has (their exceptions are
+          // secondary — the first failure propagates), so the pool winds
+          // down and the finally below can release every persist (round 6,
+          // ADVICE fix — the pages future used to leak with its exception
+          // swallowed and the persists skipped).
+          case t: Throwable =>
+            submitted.foreach(_.cancel(false))
+            submitted.foreach(f => try f.get() catch { case _: Throwable => () })
+            throw t
         } finally pool.shutdown()
       }
-
-    fused1m.foreach(_.unpersist(blocking = false))
-    arranged.foreach(_.unpersist(blocking = false))
-    if (cacheObs) obsIn.unpersist(blocking = false)
-    results
+    } finally {
+      fusedOpt.foreach(_.unpersist(blocking = false))
+      arranged.foreach(_.unpersist(blocking = false))
+      if (cacheObs) obsIn.unpersist(blocking = false)
+    }
   }
 
   /** Retention sweep: per-tier TTLs (seconds of bucket age vs the tier's
