@@ -72,11 +72,18 @@ object MoreQueries {
   def summaryQuantiles(s: SparkSession, dir: String): DataFrame =
     EventQueries.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+      // ONE percentile buffer for all three quantiles (round 6): three
+      // scalar percentile(φ) aggregates each built their own
+      // TypedImperativeAggregate value buffer over the same column; the
+      // array form interpolates every φ from one shared buffer — identical
+      // per-φ arithmetic, a third of the per-group state
+      .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("_p"),
         count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        round(col("_p")(0), 4).as("p50"),
+        round(col("_p")(1), 4).as("p90"),
+        round(col("_p")(2), 4).as("p99"),
+        col("cnt"))
       .orderBy(col("event_type"))
 
   /** q41: cardinality limiter, probabilistic mode
@@ -113,23 +120,27 @@ object MoreQueries {
     * exact + `true`.
     */
   def summaryQuantilesSketch(s: SparkSession, dir: String): DataFrame = {
-    def inWindow(ap: Column, q: Double): Column =
-      ap.between(expr(s"percentile(value, ${math.max(q - 0.01, 0.0)})"),
-        expr(s"percentile(value, ${math.min(q + 0.01, 1.0)})"))
+    // ONE exact-percentile buffer for the 9 needed φs (targets + their
+    // ±0.01 rank windows) and ONE GK sketch (round 6): the scalar form
+    // carried 9 independent percentile buffers plus 4 textual copies of
+    // the approx_percentile call per group. The array form interpolates
+    // each φ from the same shared buffer — per-φ arithmetic identical.
+    val pcts = Seq(0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 1.0)
+    def inWindow(ap: Column, lo: Int, hi: Int): Column =
+      ap.between(col("_p")(lo), col("_p")(hi))
     EventQueries.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        expr(s"percentile(value, array(${pcts.mkString(", ")}))").as("_p"),
         expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("_ap"),
-        inWindow(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")(0), 0.5)
-          .and(inWindow(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")(1), 0.9))
-          .and(inWindow(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")(2), 0.99))
-          .as("sketch_ok"),
         count(lit(1)).as("cnt"))
-      .select(col("event_type"), col("p50"), col("p90"), col("p99"), col("cnt"),
-        col("sketch_ok"))
+      .select(col("event_type"),
+        round(col("_p")(1), 4).as("p50"),
+        round(col("_p")(4), 4).as("p90"),
+        round(col("_p")(7), 4).as("p99"),
+        col("cnt"),
+        (inWindow(col("_ap")(0), 0, 2) && inWindow(col("_ap")(1), 3, 5) &&
+          inWindow(col("_ap")(2), 6, 8)).as("sketch_ok"))
       .orderBy(col("event_type"))
   }
 
