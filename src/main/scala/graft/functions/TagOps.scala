@@ -168,8 +168,19 @@ object TagOps {
     * keys/values are escaped ('\' '=' ',' → backslash-prefixed) so the string
     * is injective and safe as an exact grouping key. Tags without those
     * metacharacters render exactly as before.
+    *
+    * Native one-pass kernel (round 6 — expressions.TagExprs.CanonicalTags):
+    * the HOF composition kept below as [[canonicalTagsHof]] was four
+    * interpreted higher-order functions per row — the per-row cost of every
+    * tag-model groupBy key. Bit-parity pinned by TagOpsSpec.
     */
   def canonicalTags(tags: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.TagExprs.CanonicalTags(
+        org.apache.spark.sql.GraftColumnBridge.expression(tags)))
+
+  /** The original HOF form of [[canonicalTags]] — parity reference. */
+  def canonicalTagsHof(tags: Column): Column =
     array_join(
       transform(array_sort(map_entries(tags)),
         e => concat(escCanonical(e("key")), lit("="), escCanonical(e("value")))),

@@ -114,6 +114,41 @@ class TagOpsSpec extends AnyFunSuite {
     assert(a.head("app") == "web-app" && a.head("env") == "prod")
   }
 
+  test("native canonicalTags matches the HOF chain bit-for-bit (codegen and interpreted)") {
+    // adversarial shapes: empty map, null map, null VALUES (array_join skips
+    // null elements), metacharacters in keys/values, unicode keys whose
+    // UTF-8 byte order differs from naive UTF-16 sorts, single entry
+    val df = spark.sql(
+      """SELECT id, tags FROM VALUES
+        |  (1, map('z','1','a','2','m','3')),
+        |  (2, map('a','1,b=2')),
+        |  (3, map('a=x','1','b','y\\')),
+        |  (4, cast(map() as map<string,string>)),
+        |  (5, cast(null as map<string,string>)),
+        |  (6, map('a', cast(null as string), 'b', '2')),
+        |  (7, map('k', cast(null as string))),
+        |  (8, map('中','x','a','y','é','z')),
+        |  (9, map('solo','v'))
+        |  AS t(id, tags)""".stripMargin)
+    val key = "spark.sql.codegen.factoryMode"
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, mode)
+      try {
+        val rows = df.select(col("id"),
+          TagOps.canonicalTags(col("tags")).as("native"),
+          TagOps.canonicalTagsHof(col("tags")).as("hof")).orderBy("id").collect()
+        rows.foreach { r =>
+          assert((r.isNullAt(1) && r.isNullAt(2)) ||
+            r.getString(1) == r.getString(2), s"[$mode] $r")
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("canonicalTags is injective: metacharacters in values cannot fake extra tags") {
     // {a:"1,b=2"} vs {a:"1", b:"2"} collided before escaping — distinct series
     // merged under one skey (comma-valued labels are reachable via PromText)
