@@ -53,14 +53,26 @@ object TagExprs {
       val keys = m.keyArray()
       val vals = m.valueArray()
       val idx = Array.range(0, n)
-      // insertion sort on key bytes: tag maps are small (a handful of
-      // entries); avoids boxing a comparator-driven sort for the common case
+      // insertion sort on (key, value) bytes — array_sort's struct order.
+      // Map keys are unique from every Spark constructor (dedup policy
+      // EXCEPTION), so the value tiebreak is unreachable there; it is kept
+      // so even exotic MapData with duplicate keys sorts identically to the
+      // HOF form. Small maps: no boxed comparator needed.
+      def less(a: Int, b: Int): Boolean = {
+        val c = keys.getUTF8String(a).compareTo(keys.getUTF8String(b))
+        if (c != 0) c < 0
+        else {
+          // nulls-first for values, Spark's default ordering
+          val an = vals.isNullAt(a); val bn = vals.isNullAt(b)
+          if (an || bn) an && !bn
+          else vals.getUTF8String(a).compareTo(vals.getUTF8String(b)) < 0
+        }
+      }
       var i = 1
       while (i < n) {
         val x = idx(i)
-        val kx = keys.getUTF8String(x)
         var j = i - 1
-        while (j >= 0 && keys.getUTF8String(idx(j)).compareTo(kx) > 0) {
+        while (j >= 0 && less(x, idx(j))) {
           idx(j + 1) = idx(j); j -= 1
         }
         idx(j + 1) = x
