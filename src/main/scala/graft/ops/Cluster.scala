@@ -64,7 +64,13 @@ object Cluster {
     // key, never globally (the GlobalWindowSpec guard covers q59).
     val wNode = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
 
-    // large-star: every node u links its LARGER neighbors to m(u) = min(Γ⁺(u))
+    // large-star: every node u links its LARGER neighbors to m(u) = min(Γ⁺(u)).
+    // NO intermediate distinct (round 6): within a round the large-star
+    // output feeds only small-star, whose min is duplicate-insensitive and
+    // whose own distinct() dedupes the round's result — the edge SET
+    // evolves identically, and the removed exchange was a full shuffle of
+    // the edge frame per round. Duplicate inflation is bounded: large-star
+    // emits at most |sym| rows regardless.
     def largeStar(e: DataFrame): DataFrame =
       e.select(col("s"), col("d"))
         .union(e.select(col("d").as("s"), col("s").as("d")))
@@ -72,7 +78,6 @@ object Cluster {
         .where(col("d") > col("s"))
         .select(col("d").as("s"), least(col("s"), col("mn")).as("d"))
         .where(col("s") =!= col("d"))
-        .distinct()
 
     // small-star: every node u links its smaller neighbors AND itself to
     // m(u) = min of those neighbors (all < u after orienting large→small)
