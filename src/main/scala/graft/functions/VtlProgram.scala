@@ -170,14 +170,15 @@ object VtlProgram {
         case Some(cw) => !brk && !coalesce(cw(kC, v), lit(false))
         case None => !brk
       }
-      val entry = array(struct(body.yieldKey(kC, v).as("key"),
+      // no otherwise branch: a cut entry is a NULL element whose yield
+      // expressions are NEVER evaluated (when() branches are lazy) — the
+      // dynamic lowering filters before transforming, so a yield that would
+      // throw on a cut entry (e.g. an ANSI cast) must not run here either;
+      // array_compact drops the nulls before the map builds
+      when(keep, struct(body.yieldKey(kC, v).as("key"),
         body.yieldValue(kC, v).as("value")))
-      // the empty branch is a 0-slice of the SAME entry array, so both
-      // branches share the yield expressions' exact types — no cast that
-      // would pin the loop to string-valued yields
-      when(keep, entry).otherwise(slice(entry, lit(1), lit(0)))
     }
-    map_from_entries(concat(parts: _*))
+    map_from_entries(array_compact(array(parts: _*)))
   }
 
   /** The general (runtime-map) ForKV lowering — unchanged round-5 shape. */

@@ -157,6 +157,23 @@ class VtlProgramSpec extends AnyFunSuite {
       Assign("r", render), Return(Seq("id", "r"))))
     assert(s2.orderBy("id").as[(Int, String)].collect().toSeq ==
       d2.orderBy("id").as[(Int, String)].collect().toSeq)
+    // a yield that THROWS on a cut entry (ANSI cast of a non-numeric value)
+    // must not run in either lowering — the dynamic form filters before
+    // transforming; the static form's when() branches are lazy
+    val throwBody = ForBody(
+      continueWhen = Some((k, _) => k.startsWith("tmp_")),
+      yieldValue = (_, v) => (v.cast("int") * 2).cast("string"))
+    val mapNum = (env: Env) => map(
+      lit("a"), lit("7"), lit("tmp_bad"), lit("not-a-number"))
+    val s3 = VtlProgram.compile(df, Seq(
+      Assign("m", mapNum), ForKV("m", env => ref(env, "m"), throwBody),
+      Assign("r", render), Return(Seq("id", "r"))))
+    val d3 = VtlProgram.compile(df, Seq(
+      Assign("m", env => map_concat(mapNum(env), map())),
+      ForKV("m", env => ref(env, "m"), throwBody),
+      Assign("r", render), Return(Seq("id", "r"))))
+    assert(s3.orderBy("id").as[(Int, String)].collect().toSeq ==
+      d3.orderBy("id").as[(Int, String)].collect().toSeq)
   }
 
   test("return selects fields; mid-block return rejected; empty program rejected") {
