@@ -128,14 +128,22 @@ object Metricalize {
         when(v.isNotNull, array(struct(lit(k).as("key"), v.as("value"))))
           .otherwise(array().cast(entryType))
       }: _*)
+    // key order must be UTF8String BINARY order — what the replaced
+    // array_sort(map_entries(...)) produced; Scala's default String sort is
+    // UTF-16 lexicographic, which diverges for supplementary-plane keys
+    def binarySorted(ts: Seq[(String, String)]): Seq[(String, String)] =
+      ts.sortWith { case ((a, _), (b, _)) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      }
     val tagSets: Seq[Seq[(String, String)]] =
-      if (withKeys) specs.map(_.tagPaths.toSeq.sortBy(_._1)).distinct else Nil
+      if (withKeys) specs.map(sp => binarySorted(sp.tagPaths.toSeq)).distinct else Nil
     val skAlias = tagSets.zipWithIndex.map { case (ts, i) => ts -> s"${prefix}_sk$i" }.toMap
     val base =
       if (tagSets.isEmpty) base1
       else base1.select(col("*") +: tagSets.map(ts =>
         skeyExpr(ts).as(skAlias(ts))): _*)
-    (base, ext, ts => col(skAlias(ts.sortBy(_._1))))
+    (base, ext, ts => col(skAlias(binarySorted(ts))))
   }
 
   /** Per-spec extraction structs off ONE scan: name, skey (sorted tag

@@ -41,6 +41,25 @@ class MetricalizeSpec extends AnyFunSuite {
       (Map("host" -> "b"), 100.0, 1L, 0L))) // missing tag path omitted
   }
 
+  test("series keys use UTF8 binary key order, any tagPaths declaration order") {
+    // supplementary-plane key ("😀" sorts differently in UTF-16 vs UTF-8
+    // byte order vs U+E000..U+FFFF codepoints): the shared-skey aliases and
+    // their lookup must agree on ONE order (a mismatch would be a plan-time
+    // alias miss), and the declaration order of tagPaths must not matter
+    val out1 = Metricalize.metricalize(logs, "props",
+      Seq(MetricSpec("m", "counter", "$.bytes",
+        tagPaths = Map("😀" -> "col:host", "k" -> "col:host"))),
+      col("id"))
+      .select($"tags", $"m_sum").as[(Map[String, String], Double)].collect().toSet
+    val out2 = Metricalize.metricalize(logs, "props",
+      Seq(MetricSpec("m", "counter", "$.bytes",
+        tagPaths = Map("k" -> "col:host", "😀" -> "col:host"))),
+      col("id"))
+      .select($"tags", $"m_sum").as[(Map[String, String], Double)].collect().toSet
+    assert(out1 == out2)
+    assert(out1.forall(_._1.keySet == Set("😀", "k")))
+  }
+
   test("counter with increment_by_value=false counts events") {
     val out = Metricalize.metricalize(logs, "props",
       Seq(MetricSpec("reqs", "counter", "$.bytes", incrementByValue = false)),
