@@ -665,15 +665,22 @@ object DocQueries {
     * output is the tiny sharing-degree distribution.
     */
   def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    val base = documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = documents(s, dir).select(col("doc_id"), col("text"))
     val clones = base.filter(pmod(col("doc_id"), lit(10L)) === 0)
       .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    // Native one-pass 20-gram scan (SketchExprs.WordShingles) replaces the
+    // explode(sequence)+slice+concat_ws chain (round 6). Result-identical:
+    // every 20-gram is a byte span of the text (spec-pinned vs the HOF
+    // chain), the kernel's per-doc distinctness is invariant under the
+    // duplicate-insensitive groupBy(g)->countDistinct(doc_id) aggregate,
+    // and the word-count gate is expressed as its space-count equivalent
+    // (split-by-" " yields exactly #spaces+1 tokens; null text still drops)
+    // so the kernel's short-doc whole-string branch never fires.
     base.unionByName(clones)
-      .filter(size(col("toks")) >= 20)
-      .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 19)))
+      .filter(length(col("text")) - length(translate(col("text"), " ", "")) >= 19)
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(20)))).as("g"))
+        explode(graft.ops.Dedup.shingles(col("text"), 20)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("g"))
       .groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
       .filter(col("n_docs_sharing") >= 2)
